@@ -1,0 +1,356 @@
+"""HTML → flattened DOM-node table + Arc90-style density scoring.
+
+This is the analog of the reference's detection path: where FOTS produces a
+per-pixel score map and geometry map from an image
+(``/root/reference/Module/DetectBackbone.py:129-132``) and then flattens
+surviving pixels to coordinate rows (``np.argwhere`` at
+``/root/reference/DetectUtil.py:167``), we produce per-DOM-node structural
+features from HTML bytes and flatten them to node rows:
+
+    (node_id, tag, depth, text, text_len, link_text_len, n_tags, n_links,
+     span_start, span_end, negative, attr_pos)
+
+Scoring maps the reference's detection heads onto deterministic
+readability/Arc90 heuristics:
+
+* ``text_density`` (score map, D3): saturating text length, normalized per
+  tag class — headings need less text evidence than generic divs.
+* ``link_density`` (geometry feature, D4): link chars / total chars — the
+  classic boilerplate discriminator.
+* hard negative prior: ``nav/footer/header/aside`` ancestry or boilerplate
+  ``class``/``id`` patterns zero the score, the way the reference's
+  ignore-tags mask regions out of training
+  (``/root/reference/DataPreprocess/DataGen.py:80-83``).
+
+Everything is deterministic (RNG-free) — the reference's trap of randomness
+inside geometry code (``DataGen.py:319-333``) is deliberately not
+reproduced.
+
+Parsing uses the stdlib ``html.parser`` (no external deps). Per-document
+parsing is an irreducible Python loop, but it runs inside an Arrow batch in
+``mapInPandas`` — the scoring over the resulting node table is vectorized
+NumPy across the whole batch.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+import numpy as np
+
+from ocr_spark.config import (
+    BLOCK_SEPARATOR,
+    MAX_NODES_PER_PAGE,
+    SCORE_THRESH,
+)
+
+# Tags whose entire subtree is dropped (never text content).
+_DROP_TAGS = frozenset(
+    "script style noscript template svg head title iframe object embed".split()
+)
+# Hard-negative containers: ancestry in one of these zeroes the score.
+_NEGATIVE_TAGS = frozenset("nav footer header aside form button select option".split())
+# Block-level containers: closing one emits a node row from its direct text.
+_BLOCK_TAGS = frozenset(
+    (
+        "p div article section main li td th h1 h2 h3 h4 h5 h6 pre blockquote "
+        "figcaption ul ol table tr dd dt summary details body"
+    ).split()
+)
+# Void elements — never pushed on the stack.
+_VOID_TAGS = frozenset("br hr img meta link input area base col source track wbr".split())
+
+# class/id boilerplate patterns (readability-style negative signals).
+_NEG_ATTR_RE = re.compile(
+    r"(?:^|[\s_-])(nav|menu|footer|header|sidebar|side-bar|comment|banner|"
+    r"advert|ad|ads|promo|share|social|breadcrumb|cookie|popup|masthead|"
+    r"related|widget|cta|subscribe)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+# class/id positive signals (readability candidates).
+_POS_ATTR_RE = re.compile(
+    r"(?:^|[\s_-])(article|body|content|entry|main|page|post|text|story)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+
+_WS_RE = re.compile(r"\s+")
+
+# Per-tag-class text-length normalizers: the length at which text evidence
+# saturates. Headings are short by nature; generic divs need more evidence.
+_LEN_NORM = {
+    "h1": 8.0, "h2": 8.0, "h3": 8.0, "h4": 8.0, "h5": 8.0, "h6": 8.0,
+    "p": 20.0, "blockquote": 20.0, "pre": 20.0, "figcaption": 20.0,
+    "li": 20.0, "td": 20.0, "th": 20.0, "dd": 20.0, "dt": 20.0,
+    "summary": 20.0, "article": 25.0, "main": 25.0, "section": 40.0,
+}
+_DEFAULT_LEN_NORM = 40.0
+
+
+@dataclass
+class _Block:
+    tag: str
+    depth: int
+    negative: bool  # opened under negative ancestry (or is itself negative)
+    attr_pos: bool
+    first_pos: int = -1  # document-order position of first text chunk
+    parts: list[str] = field(default_factory=list)
+    link_parts: list[str] = field(default_factory=list)
+    n_tags: int = 0
+    n_links: int = 0
+
+
+@dataclass
+class _Elem:
+    tag: str
+    neg_bump: bool
+    drop: bool
+    is_block: bool
+    is_a: bool
+
+
+class _Tokenizer(HTMLParser):
+    """Single-pass DOM flattener: emits one record per block container that
+    holds *direct* (non-nested-block) text. Nesting can therefore never
+    duplicate text across records — a div's record carries only text not
+    claimed by a nested block, the span-domain equivalent of the reference
+    emitting disjoint pixel contours (``DetectUtil.py:156-169``)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.records: list[dict] = []
+        self._elems: list[_Elem] = []
+        self._blocks: list[_Block] = [_Block("body", 0, False, False)]
+        self._drop_depth = 0
+        self._neg_depth = 0
+        self._a_depth = 0
+        self._text_pos = 0  # monotonic document-order text counter
+
+    # -- tag events ------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID_TAGS:
+            if self._drop_depth == 0 and self._blocks:
+                self._blocks[-1].n_tags += 1
+            return
+        drop = self._drop_depth > 0 or tag in _DROP_TAGS
+        neg_bump = False
+        attr_pos = False
+        if not drop:
+            attr_text = " ".join(
+                v for k, v in attrs if k in ("class", "id") and v
+            )
+            attr_neg = bool(_NEG_ATTR_RE.search(attr_text)) if attr_text else False
+            attr_pos = bool(_POS_ATTR_RE.search(attr_text)) if attr_text else False
+            neg_bump = tag in _NEGATIVE_TAGS or attr_neg
+            if self._blocks:
+                self._blocks[-1].n_tags += 1
+                if tag == "a":
+                    self._blocks[-1].n_links += 1
+        is_a = tag == "a" and not drop
+        is_block = tag in _BLOCK_TAGS and not drop
+        if drop:
+            self._drop_depth += 1
+        if neg_bump:
+            self._neg_depth += 1
+        if is_a:
+            self._a_depth += 1
+        if is_block:
+            self._blocks.append(
+                _Block(
+                    tag,
+                    depth=len(self._elems) + 1,
+                    negative=self._neg_depth > 0,
+                    attr_pos=attr_pos,
+                )
+            )
+        self._elems.append(_Elem(tag, neg_bump, drop, is_block, is_a))
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        # self-closing non-void tag: count it, no stack push
+        if self._drop_depth == 0 and self._blocks:
+            self._blocks[-1].n_tags += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            return
+        # find nearest matching open element (tolerates malformed nesting)
+        idx = None
+        for i in range(len(self._elems) - 1, -1, -1):
+            if self._elems[i].tag == tag:
+                idx = i
+                break
+        if idx is None:
+            return  # stray close tag
+        # pop everything above and including idx (implicitly-closed elems)
+        while len(self._elems) > idx:
+            self._pop_elem()
+
+    def _pop_elem(self) -> None:
+        elem = self._elems.pop()
+        if elem.drop:
+            self._drop_depth -= 1
+        if elem.neg_bump:
+            self._neg_depth -= 1
+        if elem.is_a:
+            self._a_depth -= 1
+        if elem.is_block and len(self._blocks) > 1:
+            self._emit(self._blocks.pop())
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth > 0 or not self._blocks:
+            return
+        if not data:
+            return
+        blk = self._blocks[-1]
+        if data.isspace():
+            # keep inter-element whitespace (collapsed at emit), but it
+            # neither anchors reading order nor counts as link text
+            if blk.parts:
+                blk.parts.append(" ")
+                if self._a_depth > 0:
+                    blk.link_parts.append(" ")
+            return
+        if blk.first_pos < 0:
+            blk.first_pos = self._text_pos
+        blk.parts.append(data)
+        if self._a_depth > 0:
+            blk.link_parts.append(data)
+        self._text_pos += len(data)
+
+    # -- record emission --------------------------------------------------
+    def _emit(self, blk: _Block) -> None:
+        if len(self.records) >= MAX_NODES_PER_PAGE:
+            return
+        text = _WS_RE.sub(" ", "".join(blk.parts)).strip()
+        if not text:
+            return
+        link_text = _WS_RE.sub(" ", "".join(blk.link_parts)).strip()
+        self.records.append(
+            {
+                "tag": blk.tag,
+                "depth": blk.depth,
+                "text": text,
+                "text_len": len(text),
+                "link_text_len": len(link_text),
+                "n_tags": blk.n_tags,
+                "n_links": blk.n_links,
+                "first_pos": blk.first_pos,
+                "negative": blk.negative,
+                "attr_pos": blk.attr_pos,
+            }
+        )
+
+    def finish(self) -> list[dict]:
+        while self._elems:
+            self._pop_elem()
+        while self._blocks:
+            self._emit(self._blocks.pop())
+        # document (reading) order = position of first text chunk — the
+        # linear-text analog of the reference's (y, x) reading-order sort
+        # (/root/reference/DetectUtil.py:201-203).
+        self.records.sort(key=lambda r: r["first_pos"])
+        cursor = 0
+        for nid, r in enumerate(self.records):
+            r["node_id"] = nid
+            r["span_start"] = cursor
+            r["span_end"] = cursor + r["text_len"]
+            cursor = r["span_end"] + 1
+            del r["first_pos"]
+        return self.records
+
+
+def tokenize_html(html_bytes: bytes | str) -> list[dict]:
+    """Parse one document's HTML into flattened block-node records, in
+    document reading order."""
+    if isinstance(html_bytes, (bytes, bytearray)):
+        html_text = bytes(html_bytes).decode("utf-8", errors="replace")
+    else:
+        html_text = html_bytes
+    tok = _Tokenizer()
+    try:
+        tok.feed(html_text)
+        tok.close()
+    except Exception:
+        pass  # malformed beyond repair: fall through with what we have
+    return tok.finish()
+
+
+# --------------------------------------------------------------------------
+# Vectorized scoring over a batch-level node table (NumPy struct-of-arrays).
+# --------------------------------------------------------------------------
+
+_LEN_NORM_KEYS = np.array(list(_LEN_NORM.keys()), dtype=object)
+_LEN_NORM_VALS = np.array(list(_LEN_NORM.values()), dtype=np.float64)
+
+
+def len_norms_for_tags(tags: np.ndarray) -> np.ndarray:
+    """Vectorized per-tag length normalizer lookup."""
+    out = np.full(len(tags), _DEFAULT_LEN_NORM, dtype=np.float64)
+    for k, v in _LEN_NORM.items():
+        out[tags == k] = v
+    return out
+
+
+def score_nodes(
+    tags: np.ndarray,
+    text_lens: np.ndarray,
+    link_text_lens: np.ndarray,
+    negatives: np.ndarray,
+    attr_pos: np.ndarray,
+) -> np.ndarray:
+    """Arc90-style content score per node, vectorized across a whole Arrow
+    batch's nodes (possibly many documents' nodes concatenated).
+
+    ``score = saturate(text_len / len_norm(tag)) * (1 - link_density)^2
+    * positive_attr_boost``, zeroed under negative ancestry.
+
+    Mirrors the reference's two-stage filtering: per-pixel score threshold
+    (``score_map_thresh``, ``/root/reference/DetectUtil.py:153-155``) then
+    per-box mean-score refilter (``:209-214``).
+    """
+    tags = np.asarray(tags, dtype=object)
+    text_lens = np.asarray(text_lens, dtype=np.float64)
+    link_density = np.where(
+        text_lens > 0,
+        np.asarray(link_text_lens, dtype=np.float64) / np.maximum(text_lens, 1.0),
+        0.0,
+    )
+    density = np.minimum(text_lens / len_norms_for_tags(tags), 1.0)
+    score = density * np.square(1.0 - link_density)
+    score = np.where(np.asarray(attr_pos, dtype=bool), np.minimum(score * 1.25, 1.0), score)
+    score = np.where(np.asarray(negatives, dtype=bool), 0.0, score)
+    return score
+
+
+def extract_main_text(
+    html_bytes: bytes | str,
+) -> tuple[str, list[tuple[int, int]], int]:
+    """Full per-document extraction: tokenize → score → threshold → assemble.
+
+    Returns ``(text, spans, n_blocks)`` where ``spans`` are char offsets of
+    each retained block inside the returned text (separator-aware), matching
+    the output contract D12 (``/root/reference/test_img.py:127-132`` emits
+    one ``coords,text`` row per retained box; we emit the joined text plus
+    per-block spans).
+    """
+    records = tokenize_html(html_bytes)
+    if not records:
+        return "", [], 0
+    scores = score_nodes(
+        np.array([r["tag"] for r in records], dtype=object),
+        np.array([r["text_len"] for r in records], dtype=np.int64),
+        np.array([r["link_text_len"] for r in records], dtype=np.int64),
+        np.array([r["negative"] for r in records], dtype=bool),
+        np.array([r["attr_pos"] for r in records], dtype=bool),
+    )
+    keep = scores >= SCORE_THRESH
+    texts = [records[i]["text"] for i in np.flatnonzero(keep)]
+    spans: list[tuple[int, int]] = []
+    cursor = 0
+    for i, t in enumerate(texts):
+        if i > 0:
+            cursor += len(BLOCK_SEPARATOR)
+        spans.append((cursor, cursor + len(t)))
+        cursor += len(t)
+    return BLOCK_SEPARATOR.join(texts), spans, len(texts)

@@ -1,0 +1,113 @@
+"""Deterministic synthetic page generation (fixture factory).
+
+The reference trains/tests on externally-shipped golden arrays
+(``/root/reference/testData/*.npy``); we have no external data, so fixtures
+are *generated*: known main content is wrapped in deterministic boilerplate
+chrome (nav/header/aside/footer/share, link-heavy) and the extraction
+pipeline must recover the content byte-identically. All variation is keyed
+on ``crc32(url)`` — no RNG state, fully reproducible (unlike the reference's
+RNG-in-geometry trap, ``/root/reference/DataPreprocess/DataGen.py:319-333``).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import zlib
+
+_NAV_WORDS = [
+    "Home", "Products", "Pricing", "Blog", "Careers", "Support",
+    "Documentation", "Community", "Partners", "Contact", "About", "Legal",
+]
+_SIDEBAR_TITLES = [
+    "Most read this week", "Trending topics", "From our partners",
+    "Editor picks", "Recommended for you",
+]
+_HOST_POOL = [
+    "news.example.com", "blog.example.org", "shop.example.net",
+    "docs.example.io", "forum.example.dev", "wiki.example.co",
+    "media.example.tv", "press.example.info",
+]
+# Deliberately skewed: this fraction of pages land on the hot host — the
+# skew case the write-side salting must absorb.
+HOT_HOST = "hot.example.com"
+HOT_HOST_PCT = 30  # percent
+
+
+def url_key(url: str) -> int:
+    """Stable non-salted hash of a url (crc32; NOT Python's salted hash)."""
+    return zlib.crc32(url.encode("utf-8"))
+
+
+def host_for_doc(doc_id: int) -> str:
+    if doc_id % 100 < HOT_HOST_PCT:
+        return HOT_HOST
+    return _HOST_POOL[doc_id % len(_HOST_POOL)]
+
+
+def url_for_doc(doc_id: int, source: str = "src") -> str:
+    return f"https://{host_for_doc(doc_id)}/{source}/{doc_id}"
+
+
+def wrap_html(main_text: str, url: str, n_paragraphs: int = 1) -> bytes:
+    """Wrap known main content in boilerplate chrome → UTF-8 HTML bytes.
+
+    Invariant (the byte-identical contract): running
+    ``kernels.html.extract_main_text`` on the result yields exactly
+    ``main_text`` when ``n_paragraphs == 1``, or the paragraphs joined with
+    ``BLOCK_SEPARATOR`` when the text is pre-split by the caller.
+
+    Boilerplate blocks are constructed to score < SCORE_THRESH under the
+    Arc90 scorer: nav/header/aside/footer ancestry (hard negatives),
+    link-dense lists, and negative class patterns (share/cookie/related).
+    """
+    k = url_key(url)
+    n_nav = 5 + k % 7
+    nav_items = "".join(
+        f'<li><a href="/{w.lower()}">{_NAV_WORDS[(k + i) % len(_NAV_WORDS)]}</a></li>'
+        for i, w in enumerate(_NAV_WORDS[:n_nav])
+    )
+    side_title = _SIDEBAR_TITLES[k % len(_SIDEBAR_TITLES)]
+    side_items = "".join(
+        f'<li><a href="/rel/{i}">Related story number {k % 97} part {i}</a></li>'
+        for i in range(4 + k % 4)
+    )
+    if n_paragraphs <= 1:
+        paras = [main_text]
+    else:
+        words = main_text.split(" ")
+        step = max(1, len(words) // n_paragraphs)
+        paras = [
+            " ".join(words[i : i + step]) for i in range(0, len(words), step)
+        ]
+    body = "".join(f"<p>{_html.escape(p)}</p>" for p in paras if p)
+    doc = (
+        "<!DOCTYPE html>\n"
+        f"<html><head><title>Page {k}</title>"
+        "<style>body{margin:0}.ad{display:none}</style>"
+        f"<script>var trackingId={k};trk.init();</script></head>\n"
+        "<body>\n"
+        f'<header class="masthead"><h1><a href="/">Example Site {k % 13}</a></h1>'
+        '<div class="cta"><a href="/subscribe">Subscribe now</a> for unlimited access</div></header>\n'
+        f'<nav class="menu main-nav"><ul>{nav_items}</ul></nav>\n'
+        '<div class="cookie-banner">We use cookies to improve your experience. '
+        '<a href="/privacy">Learn more</a> <button>Accept</button></div>\n'
+        '<div class="layout">\n'
+        f'<aside class="sidebar"><h3>{side_title}</h3><ul>{side_items}</ul></aside>\n'
+        f'<main class="content"><article>{body}</article></main>\n'
+        "</div>\n"
+        f'<div class="share social"><a href="/share/x">Share on X</a> '
+        '<a href="/share/fb">Share on Facebook</a> <a href="/share/li">Post to LinkedIn</a></div>\n'
+        f'<div class="related widget"><h4>You may also like</h4><ul>{side_items}</ul></div>\n'
+        f'<footer><p>&copy; 2024 Example Corp {k % 11}. All rights reserved. '
+        '<a href="/terms">Terms</a> <a href="/privacy">Privacy</a></p></footer>\n'
+        "</body></html>\n"
+    )
+    return doc.encode("utf-8")
+
+
+def warc_ts_for_doc(doc_id: int) -> int:
+    """Deterministic epoch-seconds timestamp spread over ≥3 crawl days."""
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    day = doc_id % 7
+    sec = (doc_id * 40499) % 86400
+    return base + day * 86400 + sec

@@ -1,0 +1,94 @@
+"""Pages-table source: synthesize the BASELINE input shape from the
+driver-provided ``documents`` table.
+
+Input shape mandated by BASELINE.json ``input_hint``:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+
+Synthesis is deterministic per ``doc_id`` (no RNG): the driver's
+``documents.text`` becomes the known main content, wrapped in boilerplate
+chrome by ``kernels.synth.wrap_html``. Extraction of the wrapped page must
+return exactly ``documents.text`` — which makes the flagship query
+*oracle-checkable*: the DuckDB oracle for "extract main text" is simply
+``SELECT url, text FROM documents``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ocr_spark.kernels.synth import url_for_doc, warc_ts_for_doc, wrap_html
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _synth_batches(n_paragraphs: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, htmls = [], [], []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                url = url_for_doc(int(doc_id), str(source))
+                urls.append(url)
+                tss.append(
+                    pd.Timestamp(warc_ts_for_doc(int(doc_id)), unit="s")
+                )
+                htmls.append(wrap_html(text, url, n_paragraphs=n_paragraphs))
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "warc_ts": tss,
+                    "html": htmls,
+                    "text": pdf["text"],
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return fn
+
+
+def pages_from_documents(
+    spark: SparkSession, sf_dir: str, n_paragraphs: int = 1
+) -> DataFrame:
+    """documents parquet → pages DataFrame of the mandated shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    return docs.mapInPandas(_synth_batches(n_paragraphs), schema=PAGES_SCHEMA)
+
+
+def expected_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-identical expected output for pages_from_documents(n=1)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("expected_text", T.StringType()),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        url_for_doc(int(d), str(s))
+                        for d, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "expected_text": pdf["text"],
+                }
+            )
+
+    return docs.select("doc_id", "text", "source").mapInPandas(fn, schema=schema)
