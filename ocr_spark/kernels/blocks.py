@@ -1,0 +1,216 @@
+"""Block geometry: locality-aware NMS (weighted merge) + x/y-cut reading order.
+
+Re-expresses the reference's box-domain post-processing in the axis-aligned
+page-block domain:
+
+* ``nms_merge_blocks`` — the semantics of ``nms_locality`` + ``standard_nms``
+  + ``weighted_merge`` (``/root/reference/locality_aware_nms.py:18-58``):
+  a sequential locality pass merges each box into its running predecessor
+  when IoU > thres (coords score-weighted-averaged, scores ADDED —
+  ``g[:8]=(g8*g+p8*p)/(g8+p8); g8=g8+p8``), then a standard greedy NMS in
+  score-descending order suppresses remaining overlaps.
+* ``xy_cut_order`` — recursive XY-cut reading order for page layouts; the
+  generalization of the reference's ``(y, x)`` box sort
+  (``/root/reference/DetectUtil.py:201-203``) that handles multi-column
+  layouts correctly (cut on whitespace gaps, top/bottom before left/right).
+
+Pure NumPy; runs inside ``applyInPandas`` per url (groups are page-local and
+small, the same locality argument as the reference's per-image ``boxes_masks``
+grouping, ``/root/reference/DataPreprocess/DataGen.py:538-548``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def box_iou(a: np.ndarray, b: np.ndarray) -> float:
+    """IoU of two axis-aligned boxes (x0, y0, x1, y1)."""
+    ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+    ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+    iw, ih = max(0.0, ix1 - ix0), max(0.0, iy1 - iy0)
+    inter = iw * ih
+    if inter <= 0.0:
+        return 0.0
+    area_a = max(0.0, a[2] - a[0]) * max(0.0, a[3] - a[1])
+    area_b = max(0.0, b[2] - b[0]) * max(0.0, b[3] - b[1])
+    union = area_a + area_b - inter
+    return inter / union if union > 0 else 0.0
+
+
+def weighted_merge(
+    box_g: np.ndarray, s_g: float, box_p: np.ndarray, s_p: float
+) -> tuple[np.ndarray, float]:
+    """Score-weighted coordinate average; scores add
+    (/root/reference/locality_aware_nms.py:18-21)."""
+    merged = (s_g * box_g + s_p * box_p) / (s_g + s_p)
+    return merged, s_g + s_p
+
+
+def nms_merge_blocks(
+    boxes: np.ndarray,
+    scores: np.ndarray,
+    thres: float = 0.3,
+) -> tuple[np.ndarray, np.ndarray, list[list[int]]]:
+    """Locality-aware NMS over blocks in their given (reading) order.
+
+    Returns ``(kept_boxes, kept_scores, members)`` where ``members[i]`` lists
+    the input indices merged into kept box ``i`` (first member = the
+    highest-input-score constituent, used for text selection downstream).
+    """
+    n = len(boxes)
+    if n == 0:
+        return boxes.reshape(0, 4), scores, []
+    boxes = boxes.astype(np.float64)
+    scores = scores.astype(np.float64)
+
+    # --- locality pass (nms_locality:44-54): merge into running predecessor
+    merged_boxes: list[np.ndarray] = []
+    merged_scores: list[float] = []
+    merged_members: list[list[int]] = []
+    cur_box, cur_score, cur_members = boxes[0].copy(), float(scores[0]), [0]
+    for i in range(1, n):
+        if box_iou(boxes[i], cur_box) > thres:
+            cur_box, cur_score = weighted_merge(
+                cur_box, cur_score, boxes[i], float(scores[i])
+            )
+            cur_members.append(i)
+        else:
+            merged_boxes.append(cur_box)
+            merged_scores.append(cur_score)
+            merged_members.append(cur_members)
+            cur_box, cur_score, cur_members = (
+                boxes[i].copy(),
+                float(scores[i]),
+                [i],
+            )
+    merged_boxes.append(cur_box)
+    merged_scores.append(cur_score)
+    merged_members.append(cur_members)
+
+    # --- standard NMS (standard_nms:24-35): score-desc greedy suppression
+    mb = np.array(merged_boxes)
+    ms = np.array(merged_scores)
+    order = np.argsort(-ms, kind="stable")
+    keep: list[int] = []
+    while order.size > 0:
+        i = int(order[0])
+        keep.append(i)
+        if order.size == 1:
+            break
+        rest = order[1:]
+        ious = np.array([box_iou(mb[i], mb[j]) for j in rest])
+        order = rest[ious <= thres]
+
+    keep_sorted = sorted(keep)  # restore reading order among survivors
+    out_members = []
+    for i in keep_sorted:
+        # first member = highest original score (stable tie-break by index)
+        m = merged_members[i]
+        best = max(m, key=lambda j: (scores[j], -j))
+        out_members.append([best] + [j for j in m if j != best])
+    return mb[keep_sorted], ms[keep_sorted], out_members
+
+
+def _widest_gap_1d(
+    starts: np.ndarray, ends: np.ndarray, min_gap: float
+) -> tuple[float | None, float]:
+    """Widest gap ≥ min_gap in the union of 1-D intervals.
+
+    Returns ``(cut position at the widest gap's midpoint | None, width)``.
+    Ties pick the first (topmost/leftmost) gap — deterministic.
+    """
+    order = np.argsort(starts, kind="stable")
+    best_cut: float | None = None
+    widest = 0.0
+    cur_end = ends[order[0]]
+    for i in order[1:]:
+        gap = float(starts[i]) - float(cur_end)
+        if gap >= min_gap and gap > widest:
+            widest = gap
+            best_cut = (float(cur_end) + float(starts[i])) / 2.0
+        cur_end = max(cur_end, ends[i])
+    return best_cut, widest
+
+
+def xy_cut_order(boxes: np.ndarray, min_gap: float = 1.0) -> np.ndarray:
+    """Recursive XY-cut reading order over axis-aligned blocks.
+
+    At each level, make ONE cut at the single widest whitespace gap across
+    both axes (ties → horizontal cut), then recurse into the two halves.
+    Widest-gap-first with a single cut handles the hard layouts correctly:
+
+    * aligned two-column rows — the column gutter is wider than line gaps,
+      so the vertical cut yields whole columns, not a row-major interleave;
+    * a full-width title above columns — the title spans the gutter, so no
+      vertical gap exists until the horizontal cut under the title is made;
+      after that cut the smaller line gaps must NOT pre-split the column
+      section, which is exactly why only the widest gap is cut per level.
+
+    Leaves fall back to the reference's ``(y, x)`` sort
+    (``/root/reference/DetectUtil.py:201-203``). Deterministic; returns a
+    permutation of ``range(len(boxes))``.
+    """
+    n = len(boxes)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    boxes = boxes.astype(np.float64)
+    out: list[int] = []
+
+    def recurse(idx: np.ndarray) -> None:
+        while True:
+            if len(idx) <= 1:
+                out.extend(idx.tolist())
+                return
+            sub = boxes[idx]
+            ycut, ywide = _widest_gap_1d(sub[:, 1], sub[:, 3], min_gap)
+            xcut, xwide = _widest_gap_1d(sub[:, 0], sub[:, 2], min_gap)
+            if ycut is not None and (xcut is None or ywide >= xwide):
+                axis, cut = 1, ycut
+            elif xcut is not None:
+                axis, cut = 0, xcut
+            else:
+                # no cut possible: (y, x) sort — reference reading-order
+                # fallback (DetectUtil.py:201-203)
+                order = np.lexsort((sub[:, 0], sub[:, 1]))
+                out.extend(idx[order].tolist())
+                return
+            centers = (boxes[idx, axis] + boxes[idx, axis + 2]) / 2.0
+            first = idx[centers < cut]
+            second = idx[centers >= cut]
+            recurse(first)
+            idx = second  # tail recursion → loop (bounded stack)
+
+    recurse(np.arange(n, dtype=np.int64))
+    return np.array(out, dtype=np.int64)
+
+
+def assemble_pdf_text(
+    pages: np.ndarray,
+    boxes: np.ndarray,
+    scores: np.ndarray,
+    texts: list[str],
+    block_ids: np.ndarray,
+    merge_thres: float = 0.3,
+    separator: str = "\n\n",
+) -> tuple[str, list[int]]:
+    """One document's blocks → (extracted_text, block_ids in reading order).
+
+    Per page: XY-cut reading order → locality NMS merge in that order (a
+    merged block keeps its highest-score constituent's text) → assemble;
+    pages concatenate in ascending page order.
+    """
+    out_texts: list[str] = []
+    out_ids: list[int] = []
+    for page in np.unique(pages):
+        sel = np.flatnonzero(pages == page)
+        order = xy_cut_order(boxes[sel])
+        ordered = sel[order]
+        kept_boxes, kept_scores, members = nms_merge_blocks(
+            boxes[ordered], scores[ordered], thres=merge_thres
+        )
+        for m in members:
+            src = ordered[m[0]]
+            out_texts.append(texts[src])
+            out_ids.append(int(block_ids[src]))
+    return separator.join(out_texts), out_ids
