@@ -1,38 +1,646 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship HTML main-content extraction on sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+the training-data-pipeline operators), each ``(spark, sf_dir) → DataFrame``.
+``oracle_sql()`` — matching DuckDB SQL on the same parquet tables.
+
+Oracle-parity rules observed throughout: every computed column is aliased
+identically on both sides; integer outputs are ``bigint`` on both sides
+(DuckDB ``count``/``len`` are BIGINT, Spark ``size``/``count`` are cast);
+doubles that cross an aggregation or dot-product are rounded (6 dp for
+ratios, 2–4 dp for big sums) so floating-point association differences
+cannot flip the value hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect) mirroring the library's definitions
+# ---------------------------------------------------------------------------
+
+# url synthesis — the SQL twin of ocr_spark.kernels.synth.url_for_doc
+_HOST_POOL = [
+    "news.example.com", "blog.example.org", "shop.example.net",
+    "docs.example.io", "forum.example.dev", "wiki.example.co",
+    "media.example.tv", "press.example.info",
+]
+_HOST_SQL = (
+    "CASE WHEN doc_id % 100 < 30 THEN 'hot.example.com' ELSE CASE doc_id % 8 "
+    + " ".join(f"WHEN {i} THEN '{h}'" for i, h in enumerate(_HOST_POOL))
+    + " END END"
+)
+_URL_SQL = f"'https://' || {_HOST_SQL} || '/' || source || '/' || CAST(doc_id AS VARCHAR)"
+
+# whitespace tokens / shingles — twins of operators.textstats / operators.dedup
+_DWORDS = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+_DSHINGLES = (
+    f"CASE WHEN len({_DWORDS}) < 3 THEN [] "
+    f"ELSE list_distinct(list_transform(range(len({_DWORDS}) - 2), "
+    f"i -> array_to_string({_DWORDS}[i+1:i+3], ' '))) END"
+)
+
+
+def _minhash_sig_sql(i: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5(s || '#{i}')))"
+
+
+# PDF expected output — the SQL twin of ocr_spark.kernels.synth_pdf
+_PDF_FAMILY_IDS = {0: [2, 0, 3, 1, 10], 1: [0, 2, 4, 1, 3, 5], 2: [0, 1, 2]}
+
+
+def _pdf_block_sql(b: int) -> str:
+    return (
+        f"'doc ' || CAST(doc_id AS VARCHAR) || ' block {b} content words "
+        "alpha beta gamma delta epsilon zeta eta theta'"
+    )
+
+
+def _pdf_expected_sql() -> str:
+    cases = []
+    for fam, ids in _PDF_FAMILY_IDS.items():
+        joined = ", ".join(_pdf_block_sql(b) for b in ids)
+        cases.append(f"WHEN {fam} THEN concat_ws(chr(10) || chr(10), {joined})")
+    return "CASE doc_id % 3 " + " ".join(cases) + " END"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: synth pages table → fused mapInPandas extraction."""
+    from ocr_spark.operators.extract_html import extract_pages
+    from ocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir, n_paragraphs=1)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "lang", "extracted_text", F.col("n_blocks").cast("long").alias("n_blocks")
+    )
+
+
+def q_extract_html_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-paragraph pages: byte-identical match flag per url."""
+    from ocr_spark.operators.extract_html import extract_pages
+    from ocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir, n_paragraphs=3)
+    out = extract_pages(pages)
+    # expected: same paragraph re-split as wrap_html, joined with the block
+    # separator — built from the raw text, independent of the extractor
+    import pandas as pd
+
+    from ocr_spark.config import BLOCK_SEPARATOR
+    from ocr_spark.kernels.synth import url_for_doc
+
+    def expected_fn(batches):
+        for pdf in batches:
+            urls, exps = [], []
+            for doc_id, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+                urls.append(url_for_doc(int(doc_id), str(source)))
+                words = str(text).split(" ")
+                step = max(1, len(words) // 3)
+                paras = [
+                    " ".join(words[i : i + step]) for i in range(0, len(words), step)
+                ]
+                exps.append(BLOCK_SEPARATOR.join(p for p in paras if p))
+            yield pd.DataFrame({"url": urls, "expected_text": exps})
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    expected = docs.mapInPandas(expected_fn, schema="url string, expected_text string")
+    joined = out.join(expected, "url", "left")
+    return joined.select(
+        "url",
+        F.coalesce(
+            F.col("extracted_text") == F.col("expected_text"), F.lit(False)
+        ).alias("match"),
+    )
+
+
+def q_extract_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document counts off the flagship output (skew surface)."""
+    out = q_extract_html(spark, sf_dir)
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    return out.groupBy(host.alias("host")).agg(F.count("*").alias("n_docs"))
+
+
+def q_dom_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded DOM-node table: content <p> rollup across the corpus."""
+    from ocr_spark.operators.nodes import tokenize_to_nodes
+    from ocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir, n_paragraphs=1)
+    nodes = tokenize_to_nodes(pages)
+    # content <p> only: the synth chrome also carries a footer <p>, which is
+    # flagged negative by ancestry — exactly what the node table is for
+    return nodes.filter((F.col("tag") == "p") & (~F.col("negative"))).agg(
+        F.count("*").alias("n_p_nodes"),
+        F.sum("text_len").alias("total_text_len"),
+    )
+
+
+def q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF branch: per-doc deterministic layout → XY-cut + NMS → text."""
+    import pandas as pd
+
+    from ocr_spark.kernels.synth_pdf import make_pdf_doc
+    from ocr_spark.operators.extract_pdf import extract_pdf_blocks
+
+    def blocks_fn(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_rows, _, _ = make_pdf_doc(int(doc_id))
+                rows.extend(doc_rows)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "page", "block_id", "x0", "y0", "x1", "y1",
+                    "text", "score",
+                ],
+            )
+
+    blocks_schema = (
+        "url string, page long, block_id long, x0 double, y0 double, "
+        "x1 double, y1 double, text string, score double"
+    )
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    blocks = docs.mapInPandas(blocks_fn, schema=blocks_schema)
+    # blocks are generated per-document inside one task → already colocated;
+    # the zero-shuffle path (see extract_pdf_blocks docstring)
+    out = extract_pdf_blocks(blocks, colocated=True)
+    return out.select(
+        "url", "extracted_text", F.col("n_blocks").cast("long").alias("n_blocks")
+    )
+
+
+def q_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR branch: render text → strip tensor → conv+CTC decode → text."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_spark.kernels.ocr import render_line
+    from ocr_spark.operators.extract_ocr import recognize_line_strips
+
+    def strips_fn(batches):
+        for pdf in batches:
+            ids, strips, widths = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = str(text).replace(" ", "")[:40]
+                strip, width = render_line(s)
+                ids.append(int(doc_id))
+                strips.append(strip.ravel().tolist())
+                widths.append(width)
+            yield pd.DataFrame(
+                {
+                    "url": [str(i) for i in ids],
+                    "line_id": ids,
+                    "strip": strips,
+                    "width": widths,
+                }
+            )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    lines = docs.mapInPandas(
+        strips_fn,
+        schema="url string, line_id int, strip array<float>, width long",
+    )
+    out = recognize_line_strips(lines)
+    return out.select(
+        F.col("line_id").cast("long").alias("doc_id"), F.col("text").alias("text_out")
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → feature extraction."""
+    from ocr_spark.operators.multimodal import extract_media_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("url"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(16).cast("int").alias("width"),
+            F.lit(16).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+            F.lit(0).cast("int").alias("sample_rate"),
+            F.lit("text/plain").alias("content_type"),
+        ).alias("meta"),
+    )
+    feats = extract_media_features(media)
+    return feats.select("media_id", "kind", "payload_bytes")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n_hashes=4)
+
+
+def q_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_docs(spark, sf_dir), n_bands=4, rows_per_band=2)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.05)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, _queries_df(spark, sf_dir), k=5)
+
+
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(emb, _queries_df(spark, sf_dir), dim=64, k=5, n_planes=6)
+
+
+def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.similarity import cosine_topk, label_knn_accuracy
+
+    emb = _emb(spark, sf_dir)
+    topk = cosine_topk(emb, _queries_df(spark, sf_dir), k=5)
+    return label_knn_accuracy(topk, emb)
+
+
+def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_rel_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_rel_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == customer.c_custkey,
+    ).join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return events.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extract_html(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_html": q_extract_html,
+        "extract_html_multi": q_extract_html_multi,
+        "extract_hosts": q_extract_hosts,
+        "dom_nodes": q_dom_nodes,
+        "extract_pdf": q_extract_pdf,
+        "ocr_roundtrip": q_ocr_roundtrip,
+        "media_features": q_media_features,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh": q_dedup_lsh,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_topk": q_sim_topk,
+        "sim_lsh": q_sim_lsh,
+        "sim_knn_label": q_sim_knn_label,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_top_orders": q_rel_top_orders,
+        "rel_nation_revenue": q_rel_nation_revenue,
+        "events_windowed": q_events_windowed,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sig_list = ", ".join(_minhash_sig_sql(i) for i in range(8))
+    return {
+        "extract_html": f"""
+            SELECT {_URL_SQL} AS url, lang, text AS extracted_text,
+                   CAST(1 AS BIGINT) AS n_blocks
+            FROM documents
+        """,
+        "extract_html_multi": f"""
+            SELECT {_URL_SQL} AS url, CAST(TRUE AS BOOLEAN) AS match
+            FROM documents
+        """,
+        "extract_hosts": f"""
+            SELECT {_HOST_SQL} AS host, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "dom_nodes": """
+            SELECT CAST(count(*) AS BIGINT) AS n_p_nodes,
+                   CAST(sum(n_chars) AS BIGINT) AS total_text_len
+            FROM documents
+        """,
+        "extract_pdf": f"""
+            SELECT 'pdf://doc-' || CAST(doc_id AS VARCHAR) AS url,
+                   {_pdf_expected_sql()} AS extracted_text,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 6 ELSE 3 END
+                        AS BIGINT) AS n_blocks
+            FROM documents
+        """,
+        "ocr_roundtrip": """
+            SELECT doc_id, substr(replace(text, ' ', ''), 1, 40) AS text_out
+            FROM documents
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id, 'image' AS kind,
+                   CAST(n_chars AS BIGINT) AS payload_bytes
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash": f"""
+            WITH w AS (SELECT doc_id, {_DSHINGLES} AS sh FROM documents)
+            SELECT doc_id,
+                   {_minhash_sig_sql(0)} AS sig_0, {_minhash_sig_sql(1)} AS sig_1,
+                   {_minhash_sig_sql(2)} AS sig_2, {_minhash_sig_sql(3)} AS sig_3
+            FROM w
+        """,
+        "dedup_lsh": f"""
+            WITH w AS (SELECT doc_id, {_DSHINGLES} AS sh FROM documents),
+            s AS (SELECT doc_id, [{sig_list}] AS sig FROM w),
+            b AS (
+              SELECT doc_id, band,
+                     md5(concat_ws('|', sig[2*band+1], sig[2*band+2])) AS bucket
+              FROM s, (SELECT unnest(range(4)) AS band)
+            )
+            SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+            FROM b a JOIN b c USING (band, bucket)
+            WHERE a.doc_id < c.doc_id
+        """,
+        "dedup_jaccard": f"""
+            WITH s AS (SELECT source AS g, doc_id, {_DSHINGLES} AS sh FROM documents)
+            SELECT * FROM (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / greatest(len(list_distinct(a.sh || b.sh)), 1), 6)
+                           AS jaccard
+              FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.05
+        """,
+        "text_token_stats": f"""
+            SELECT doc_id,
+                   len({_DWORDS}) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_obs,
+                   len(list_distinct({_DWORDS})) AS n_distinct_tokens,
+                   round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                         / greatest(len({_DWORDS}), 1), 6) AS avg_token_len,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_subtokens
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len({_DWORDS}) AS n_tokens,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+                     len(list_filter({_DWORDS},
+                         x -> x IN ('the','a','and','of','in','to','is'))) AS n_stop
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6)
+                       AS punct_ratio,
+                   round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6)
+                       AS stop_ratio,
+                   round(least(n_tokens / 64.0, 1.0)
+                         * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+                         * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE)
+                                              / greatest(n_tokens, 1) * 5.0, 1.0)), 6)
+                       AS quality
+            FROM t
+        """,
+        "text_langid": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                 len(list_filter({_DWORDS},
+                     x -> x IN ('the','a','and','of','in','to','is'))) AS c_en,
+                 len(list_filter({_DWORDS},
+                     x -> x IN ('der','die','das','und','ist','ein','zu'))) AS c_de,
+                 len(list_filter({_DWORDS},
+                     x -> x IN ('le','la','les','et','est','un','une'))) AS c_fr
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN c_de > c_en AND c_de > c_fr THEN 'de'
+                        WHEN c_fr > c_en AND c_fr >= c_de THEN 'fr'
+                        ELSE 'en' END AS predicted_lang,
+                   c_en, c_de, c_fr
+            FROM t
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents
+        """,
+        "sim_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+            p AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(q.v, e.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+              FROM e, q WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, vec_id, cos, rank FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              FROM p
+            ) WHERE rank <= 5
+        """,
+        "sim_knn_label": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v, label FROM e WHERE vec_id < 5),
+            p AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(q.v, e.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+              FROM e, q WHERE e.vec_id != q.query_id
+            ),
+            topk AS (
+              SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                FROM p
+              ) WHERE rank <= 5
+            ),
+            j AS (
+              SELECT t.query_id, qe.label AS query_label, ce.label AS label
+              FROM topk t
+              JOIN embeddings ce ON t.vec_id = ce.vec_id
+              JOIN embeddings qe ON t.query_id = qe.vec_id
+            ),
+            v AS (SELECT query_id, query_label, label, count(*) AS c
+                  FROM j GROUP BY ALL),
+            tv AS (SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, label) AS r
+                   FROM v)
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(sum(CASE WHEN label = query_label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct
+            FROM tv WHERE r = 1
+        """,
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_top_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "rel_nation_revenue": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_windowed": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY ALL
+        """,
+        # dedup_simhash, sim_lsh: xxhash64-based — not expressible in the
+        # DuckDB oracle dialect; driver records rows-only checks.
+    }

@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "extract_wall_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>, "docs_per_sec": <rate>,
+     "cpus": <n>, "rows": {...per-query rows...}}
+
+Usage: python bench.py [--sf-dir DIR] [--cpus N] [--queries a,b,c]
+The scaling-efficiency evidence (north rule) is produced by running this
+twice: SPARK_GRAFT_CPUS=8 python bench.py / SPARK_GRAFT_CPUS=32 ... and
+comparing docs_per_sec (see BASELINE.md §scaling).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument(
+        "--queries",
+        default=(
+            "extract_html,dom_nodes,extract_pdf,ocr_roundtrip,dedup_exact,"
+            "dedup_minhash,dedup_lsh,text_quality,text_langid,sim_topk,"
+            "rel_pricing_summary,rel_nation_revenue,events_windowed"
+        ),
+    )
+    args = ap.parse_args()
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import __spark_entry__ as entrymod
+    from ocr_spark.session import get_spark
+
+    spark = get_spark(
+        "bench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=int(args.cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = entrymod.queries()
+    names = [n for n in args.queries.split(",") if n in qmap]
+
+    # warm the JVM + the full Python worker pool (one worker per core) so
+    # the flagship number isn't dominated by one-time interpreter startup
+    def _noop(batches):
+        yield from batches
+
+    spark.range(int(args.cpus) * 64, numPartitions=int(args.cpus)).mapInPandas(
+        _noop, schema="id long"
+    ).count()
+    qmap["extract_html"](spark, args.sf_dir).limit(64).count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        t0 = time.monotonic()
+        rows[name] = qmap[name](spark, args.sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    n_docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
+    extract_sec = timings.get("extract_html", float("nan"))
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "extract_wall_sec",
+        "value": extract_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs_per_sec": round(n_docs / extract_sec, 1) if extract_sec else None,
+        "cpus": int(args.cpus),
+        "rows": rows,
+        "total_sec": round(sum(timings.values()), 3),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

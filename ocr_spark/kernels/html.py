@@ -345,6 +345,41 @@ def extract_main_text(
         np.array([r["attr_pos"] for r in records], dtype=bool),
     )
     keep = scores >= SCORE_THRESH
+    # Arc90 sibling-append: readability keeps LOW-scoring siblings of the
+    # winning candidate (short trailing paragraphs, one-line intros) as long
+    # as they are clean text. Span-domain version: rescue a non-negative,
+    # link-light node whose (tag, depth) matches an adjacent kept node in
+    # document order, down to a 0.2× score floor. Fixpoint loop so a rescued
+    # node can bridge to the next one (bounded by node count).
+    if keep.any() and not keep.all():
+        tags_a = np.array([r["tag"] for r in records], dtype=object)
+        depths = np.array([r["depth"] for r in records], dtype=np.int64)
+        tl = np.array([r["text_len"] for r in records], dtype=np.float64)
+        ll = np.array([r["link_text_len"] for r in records], dtype=np.float64)
+        neg = np.array([r["negative"] for r in records], dtype=bool)
+        link_density = np.where(tl > 0, ll / np.maximum(tl, 1.0), 0.0)
+        # link-free clean siblings are appended regardless of length (the
+        # Arc90 "short <p> sibling" rule); anything carrying links must
+        # clear the 0.2× score floor
+        cand = (
+            (~keep)
+            & (~neg)
+            & (
+                (link_density == 0.0)
+                | ((link_density < 0.25) & (scores >= 0.2 * SCORE_THRESH))
+            )
+        )
+        while True:
+            prev_same = np.zeros_like(keep)
+            next_same = np.zeros_like(keep)
+            same_prev = (tags_a[1:] == tags_a[:-1]) & (depths[1:] == depths[:-1])
+            prev_same[1:] = keep[:-1] & same_prev
+            next_same[:-1] = keep[1:] & same_prev
+            rescued = cand & (prev_same | next_same)
+            if not rescued.any():
+                break
+            keep |= rescued
+            cand &= ~rescued
     texts = [records[i]["text"] for i in np.flatnonzero(keep)]
     spans: list[tuple[int, int]] = []
     cursor = 0

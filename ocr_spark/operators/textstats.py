@@ -1,0 +1,130 @@
+"""Text-analysis operators over a document corpus (training-data pipeline).
+
+These are the corpus-hygiene operators a 100 TB web-text pipeline runs after
+extraction: token counting, quality scoring, language identification, and
+document fingerprinting. Every operator here is a pure column-expression
+pipeline — built-in ``pyspark.sql.functions`` only, no Python UDFs — so the
+whole stage stays inside whole-stage codegen and the scan only reads the
+``text`` column (column pruning). At 10^12 documents these run as a single
+map-side pass with zero shuffles (per-document outputs) or one partial-agg
+shuffle (corpus rollups).
+
+Relation to the reference: the reference's recognition decoder maps class
+indices through a fixed 94-char vocabulary and drops out-of-vocabulary
+symbols (``/root/reference/DataPreprocess/DataGen.py:28-45``); the token /
+charset discipline here generalizes that idea to corpus statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace-token split, empty strings dropped — the one token definition
+# used by every operator in this module (and mirrored by the DuckDB oracles).
+_WORDS_EXPR = "filter(split({col}, '\\\\s+'), x -> x != '')"
+
+# Stopword lists for the n-gram/stopword language-ID heuristic.
+STOPWORDS_EN = ("the", "a", "and", "of", "in", "to", "is")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "zu")
+STOPWORDS_FR = ("le", "la", "les", "et", "est", "un", "une")
+
+
+def words(col: str = "text") -> Column:
+    return F.expr(_WORDS_EXPR.format(col=col))
+
+
+def _count_in(words_col: Column, vocab: tuple[str, ...]) -> Column:
+    quoted = ", ".join(f"'{w}'" for w in vocab)
+    return F.size(
+        F.expr(f"filter({_WORDS_EXPR.format(col='text')}, x -> x in ({quoted}))")
+    ).cast("long")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics.
+
+    (doc_id, n_tokens, n_chars_obs, n_distinct_tokens, avg_token_len) —
+    whitespace tokenization; a BPE-ish sub-token count is added as
+    ``n_subtokens`` (runs of letters / digits / single punctuation, the
+    common pre-tokenizer regex), via ``regexp_count`` (JVM-side).
+    """
+    w = words()
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_obs"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", r"\s+", ""))
+            / F.greatest(F.size(w), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+        .cast("long")
+        .alias("n_subtokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document-quality score in [0, 1].
+
+    Combines length saturation, punctuation ratio, and stopword ratio — the
+    standard web-corpus quality gates (C4/Gopher-style rules). Deterministic
+    closed-form so it is oracle-checkable in ANSI SQL.
+    """
+    w = words()
+    n_tokens = F.size(w)
+    n_chars = F.length("text")
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"))
+    quoted = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    n_stop = F.size(
+        F.expr(f"filter({_WORDS_EXPR.format(col='text')}, x -> x in ({quoted}))")
+    )
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    len_sat = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    score = len_sat * (F.lit(1.0) - punct_ratio) * (
+        F.lit(0.5) + F.lit(0.5) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language identification (en/de/fr heuristic).
+
+    Per doc: count stopword hits per language, argmax with a deterministic
+    tie-break (de > fr > en priority only on strict wins; ties fall to en).
+    Returns (doc_id, lang, predicted_lang, c_en, c_de, c_fr).
+    """
+    w = words()
+    c_en = _count_in(w, STOPWORDS_EN).alias("c_en")
+    c_de = _count_in(w, STOPWORDS_DE).alias("c_de")
+    c_fr = _count_in(w, STOPWORDS_FR).alias("c_fr")
+    out = docs.select("doc_id", "lang", c_en, c_de, c_fr)
+    predicted = (
+        F.when(
+            (F.col("c_de") > F.col("c_en")) & (F.col("c_de") > F.col("c_fr")), "de"
+        )
+        .when((F.col("c_fr") > F.col("c_en")) & (F.col("c_fr") >= F.col("c_de")), "fr")
+        .otherwise("en")
+    )
+    return out.withColumn("predicted_lang", predicted).select(
+        "doc_id", "lang", "predicted_lang", "c_en", "c_de", "c_fr"
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Whitespace-normalized content fingerprint per document.
+
+    md5 over lower-cased, whitespace-collapsed text — the cheap exact-dup
+    key robust to formatting noise. (doc_id, fp).
+    """
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

@@ -62,10 +62,18 @@ def _synth_batches(n_paragraphs: int):
 def pages_from_documents(
     spark: SparkSession, sf_dir: str, n_paragraphs: int = 1
 ) -> DataFrame:
-    """documents parquet → pages DataFrame of the mandated shape."""
+    """documents parquet → pages DataFrame of the mandated shape.
+
+    The testdata table is a single small parquet file (one row group → one
+    scan task); production input arrives as many files/splits. Repartition
+    to the cluster's parallelism BEFORE the Python stage so the synth +
+    downstream extraction fan out across all cores — the shuffle moves only
+    the slim (doc_id, text, lang, source) rows, once.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.mapInPandas(_synth_batches(n_paragraphs), schema=PAGES_SCHEMA)
 
 
