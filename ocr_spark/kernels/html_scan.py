@@ -1,0 +1,111 @@
+"""Fast HTML tag scanner: regex-driven replacement for html.parser's
+``goahead`` loop.
+
+Profiling the extraction kernel showed ~75% of per-document time inside
+stdlib ``html.parser`` dispatch (``goahead``/``parse_starttag``/
+``updatepos``), not in our handlers. This scanner walks the byte stream
+with a single compiled regex (C-speed ``finditer``), handles CDATA
+containers (script/style — raw text until the literal close tag, matching
+html.parser's semantics) and comments, and drives the SAME ``_Tokenizer``
+handler methods — so the record stream is identical by construction and
+verified by a differential test against the stdlib path
+(``tests/test_html_fast.py``).
+
+The reference's analogous move is ``@tf.function`` graph compilation of
+its eager ops (``/root/reference/Module/DetectBackbone.py:21-23``): same
+computation, dispatch overhead removed.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+
+# One pass over the document: comments, declarations, close tags, open tags.
+_TAG_RE = re.compile(
+    r"<(?:"
+    r"!--.*?(?:-->|$)"  # comment (unterminated swallows rest)
+    r"|!\[CDATA\[.*?(?:\]\]>|$)"  # CDATA section
+    r"|![^>]*>?"  # <!doctype ...>
+    r"|\?[^>]*>?"  # processing instruction
+    r"|/(?P<close>[a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*(?:>|$)"
+    r"|(?P<open>[a-zA-Z][a-zA-Z0-9:_.-]*)(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>])*?)(?P<selfclose>/?)(?:>|$)"
+    r")",
+    re.DOTALL,
+)
+
+# class/id attributes are the only ones the tokenizer consumes
+_CLASSID_RE = re.compile(
+    r"""\b(class|id)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""",
+    re.IGNORECASE,
+)
+
+# raw-text containers: content is NOT markup until the literal close tag.
+# html.parser's CDATA_CONTENT_ELEMENTS is exactly (script, style) — keep in
+# lockstep so the differential test holds.
+_CDATA_TAGS = ("script", "style")
+_CDATA_CLOSE = {
+    t: re.compile(rf"</{t}(?:\s[^>]*)?>", re.IGNORECASE) for t in _CDATA_TAGS
+}
+
+
+def _attrs_of(attr_str: str) -> list[tuple[str, str]]:
+    if not attr_str or ("class" not in attr_str and "id" not in attr_str):
+        return []
+    out = []
+    for m in _CLASSID_RE.finditer(attr_str):
+        val = m.group(2) or m.group(3) or m.group(4) or ""
+        if "&" in val:
+            val = _htmlmod.unescape(val)
+        out.append((m.group(1).lower(), val))
+    return out
+
+
+def scan(html_text: str, handler) -> None:
+    """Drive ``handler.handle_starttag/handle_endtag/handle_startendtag/
+    handle_data`` over ``html_text`` (html.parser-compatible event
+    stream for the token subset the tokenizer consumes)."""
+    pos = 0
+    n = len(html_text)
+    search = _TAG_RE.search
+    while pos < n:
+        m = search(html_text, pos)
+        if m is None:
+            data = html_text[pos:]
+            if data:
+                if "&" in data:
+                    data = _htmlmod.unescape(data)
+                handler.handle_data(data)
+            return
+        start, end = m.span()
+        if start > pos:
+            data = html_text[pos:start]
+            if "&" in data:
+                data = _htmlmod.unescape(data)
+            handler.handle_data(data)
+        open_tag = m.group("open")
+        if open_tag is not None:
+            tag = open_tag.lower()
+            attrs = _attrs_of(m.group("attrs") or "")
+            if m.group("selfclose"):
+                handler.handle_startendtag(tag, attrs)
+            else:
+                handler.handle_starttag(tag, attrs)
+                if tag in _CDATA_TAGS:
+                    cm = _CDATA_CLOSE[tag].search(html_text, end)
+                    if cm is None:
+                        # unterminated raw-text element: rest is its content
+                        handler.handle_data(html_text[end:])
+                        handler.handle_endtag(tag)
+                        return
+                    content = html_text[end : cm.start()]
+                    if content:
+                        handler.handle_data(content)
+                    handler.handle_endtag(tag)
+                    end = cm.end()
+        else:
+            close_tag = m.group("close")
+            if close_tag is not None:
+                handler.handle_endtag(close_tag.lower())
+            # comments/doctype/PI: dropped
+        pos = end
