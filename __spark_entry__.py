@@ -134,6 +134,15 @@ def q_extract_html_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fused pipeline: HTML branch + embedded-image OCR branch."""
+    from ocr_spark.operators.pipeline import extract_full
+    from ocr_spark.sources.pages import pages_with_images_from_documents
+
+    pages = pages_with_images_from_documents(spark, sf_dir)
+    return extract_full(pages)
+
+
 def q_extract_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host document counts off the flagship output (skew surface)."""
     out = q_extract_html(spark, sf_dir)
@@ -409,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html": q_extract_html,
         "extract_html_multi": q_extract_html_multi,
+        "extract_full": q_extract_full,
         "extract_hosts": q_extract_hosts,
         "dom_nodes": q_dom_nodes,
         "extract_pdf": q_extract_pdf,
@@ -443,6 +453,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_html_multi": f"""
             SELECT {_URL_SQL} AS url, CAST(TRUE AS BOOLEAN) AS match
+            FROM documents
+        """,
+        "extract_full": f"""
+            SELECT {_URL_SQL} AS url,
+                   text || chr(10) || chr(10)
+                        || substr(replace(text, ' ', ''), 1, 20)
+                        || chr(10) || chr(10)
+                        || 'line' || CAST(doc_id AS VARCHAR) AS extracted_text
             FROM documents
         """,
         "extract_hosts": f"""

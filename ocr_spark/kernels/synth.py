@@ -105,6 +105,39 @@ def wrap_html(main_text: str, url: str, n_paragraphs: int = 1) -> bytes:
     return doc.encode("utf-8")
 
 
+def wrap_html_with_images(
+    main_text: str, url: str, line_texts: list[str], n_paragraphs: int = 1
+) -> bytes:
+    """wrap_html + embedded text-line images (the OCR-branch fixture).
+
+    Each line text renders to the 8×384 glyph strip
+    (``kernels.ocr.render_line``), is packed to uint8 and base64-embedded
+    as ``<img class="embedded-line" data-strip=... data-width=...>`` inside
+    the article — the web-page analog of the reference's image-embedded
+    text regions that RoIRotate crops for recognition
+    (``/root/reference/Module/RRotateLayer.py:67-116``).
+    """
+    import base64
+
+    import numpy as np
+
+    from ocr_spark.kernels.ocr import render_line
+
+    doc = wrap_html(main_text, url, n_paragraphs=n_paragraphs).decode("utf-8")
+    imgs = []
+    for t in line_texts:
+        strip, width = render_line(t)
+        payload = base64.b64encode(
+            (strip * 255).astype(np.uint8).tobytes()
+        ).decode("ascii")
+        imgs.append(
+            f'<img class="embedded-line" data-width="{width}" '
+            f'data-strip="{payload}" alt="">'
+        )
+    doc = doc.replace("</article>", "".join(imgs) + "</article>", 1)
+    return doc.encode("utf-8")
+
+
 def warc_ts_for_doc(doc_id: int) -> int:
     """Deterministic epoch-seconds timestamp spread over ≥3 crawl days."""
     base = 1704067200  # 2024-01-01T00:00:00Z

@@ -31,7 +31,6 @@ OCR_TEXT_SCHEMA = T.StructType(
 def _recognize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         if len(pdf) == 0:
-            yield pd.DataFrame({"url": [], "line_id": [], "text": []})
             continue
         strips = np.stack(
             [

@@ -77,6 +77,46 @@ def pages_from_documents(
     return docs.mapInPandas(_synth_batches(n_paragraphs), schema=PAGES_SCHEMA)
 
 
+def pages_with_images_from_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pages whose article embeds two deterministic OCR text-line images:
+    the doc's first 20 non-space chars, and ``line<doc_id>`` — both
+    SQL-reconstructible, so the full-pipeline query is oracle-checkable."""
+    from ocr_spark.kernels.synth import wrap_html_with_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, htmls = [], [], []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                url = url_for_doc(int(doc_id), str(source))
+                lines = [
+                    str(text).replace(" ", "")[:20],
+                    f"line{int(doc_id)}",
+                ]
+                urls.append(url)
+                tss.append(pd.Timestamp(warc_ts_for_doc(int(doc_id)), unit="s"))
+                htmls.append(wrap_html_with_images(text, url, lines))
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "warc_ts": tss,
+                    "html": htmls,
+                    "text": pdf["text"],
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return docs.mapInPandas(fn, schema=PAGES_SCHEMA)
+
+
 def expected_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-identical expected output for pages_from_documents(n=1)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

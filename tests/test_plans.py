@@ -1,0 +1,87 @@
+"""Physical-plan discipline tests: pushdown, pruning, broadcast, shuffle
+counts, codegen. A regression here means a silent 100TB-scale slowdown
+even if results stay correct — these are performance invariants, asserted
+like correctness."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as em
+from ocr_spark.plans.inspect import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_ids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("n_chars") > 100)
+        .select("doc_id", "text")
+    )
+    pf = pushed_filters(df)
+    assert any("n_chars" in f for f in pf), pf
+
+
+def test_column_pruning_flagship(spark):
+    """The flagship extraction must scan ONLY the columns the synth+extract
+    UDFs declare — never the full documents schema."""
+    q = em.q_extract_html(spark, SF)
+    schemas = read_schema_columns(q)
+    assert schemas and set(schemas[0]) == {"doc_id", "text", "lang", "source"}
+
+
+def test_column_pruning_textstats(spark):
+    q = em.q_text_quality(spark, SF)
+    schemas = read_schema_columns(q)
+    assert schemas and set(schemas[0]) == {"doc_id", "text"}
+    # pure map-side pipeline: no shuffle at all, fully codegen'd
+    assert count_exchanges(q) == 0
+    assert wholestage_codegen_ids(q) >= 1
+
+
+def test_flagship_single_exchange(spark):
+    """scan → repartition (explicit fan-out) → synth → extract: exactly one
+    exchange; the extraction itself must not introduce a shuffle."""
+    assert count_exchanges(em.q_extract_html(spark, SF)) == 1
+
+
+def test_pdf_colocated_zero_shuffle(spark):
+    """The colocated PDF path must be shuffle-free after its explicit
+    fan-out repartition."""
+    assert count_exchanges(em.q_extract_pdf(spark, SF)) == 1  # only fan-out
+
+
+def test_dim_joins_broadcast(spark):
+    q = em.q_rel_nation_revenue(spark, SF)
+    assert has_broadcast_join(q)
+    # orders side shuffles once for the final aggregate, never for the joins
+    assert count_exchanges(q) <= 1
+
+
+def test_sim_topk_broadcasts_queries(spark):
+    q = em.q_sim_topk(spark, SF)
+    assert has_broadcast_join(q)
+    # candidate side: no shuffle before scoring; one exchange for the
+    # per-query window rank
+    assert count_exchanges(q) <= 1
+
+
+def test_dedup_map_side(spark):
+    """Exact dedup shuffles only the (hash, id) projection — the scan must
+    not read any column beyond text + doc_id."""
+    q = em.q_dedup_exact(spark, SF)
+    schemas = read_schema_columns(q)
+    assert schemas and set(schemas[0]) == {"doc_id", "text"}
+    assert count_exchanges(q) == 1  # the groupBy(k)
+
+
+def test_minhash_zero_shuffle(spark):
+    assert count_exchanges(em.q_dedup_minhash(spark, SF)) == 0
+    assert count_exchanges(em.q_dedup_simhash(spark, SF)) == 0
