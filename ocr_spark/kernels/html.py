@@ -42,6 +42,7 @@ import numpy as np
 
 from ocr_spark.config import (
     BLOCK_SEPARATOR,
+    BLOCK_THRESH,
     MAX_NODES_PER_PAGE,
     SCORE_THRESH,
 )
@@ -361,6 +362,22 @@ def extract_main_text(
         np.array([r["attr_pos"] for r in records], dtype=bool),
     )
     keep = scores >= SCORE_THRESH
+    tags_a = np.array([r["tag"] for r in records], dtype=object)
+    depths = np.array([r["depth"] for r in records], dtype=np.int64)
+    tl = np.array([r["text_len"] for r in records], dtype=np.float64)
+    ll = np.array([r["link_text_len"] for r in records], dtype=np.float64)
+    neg = np.array([r["negative"] for r in records], dtype=bool)
+    link_density = np.where(tl > 0, ll / np.maximum(tl, 1.0), 0.0)
+    if not keep.any():
+        # Arc90 candidate fallback: when nothing clears the absolute
+        # threshold (very short documents), the highest-scoring clean node
+        # anchors the content — the reference's analogous two-stage rule
+        # keeps candidates down to box_thresh=0.1 after selection
+        # (/root/reference/DetectUtil.py:209-214).
+        clean = (~neg) & (link_density < 0.25) & (scores >= BLOCK_THRESH)
+        if clean.any():
+            masked = np.where(clean, scores, -1.0)
+            keep[int(np.argmax(masked))] = True
     # Arc90 sibling-append: readability keeps LOW-scoring siblings of the
     # winning candidate (short trailing paragraphs, one-line intros) as long
     # as they are clean text. Span-domain version: rescue a non-negative,
@@ -368,12 +385,6 @@ def extract_main_text(
     # document order, down to a 0.2× score floor. Fixpoint loop so a rescued
     # node can bridge to the next one (bounded by node count).
     if keep.any() and not keep.all():
-        tags_a = np.array([r["tag"] for r in records], dtype=object)
-        depths = np.array([r["depth"] for r in records], dtype=np.int64)
-        tl = np.array([r["text_len"] for r in records], dtype=np.float64)
-        ll = np.array([r["link_text_len"] for r in records], dtype=np.float64)
-        neg = np.array([r["negative"] for r in records], dtype=bool)
-        link_density = np.where(tl > 0, ll / np.maximum(tl, 1.0), 0.0)
         # link-free clean siblings are appended regardless of length (the
         # Arc90 "short <p> sibling" rule); anything carrying links must
         # clear the 0.2× score floor
