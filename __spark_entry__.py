@@ -350,6 +350,38 @@ def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_knn_accuracy(topk, emb)
 
 
+def q_text_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per language by quality score (window top-k over a
+    computed metric — the corpus-curation 'best docs per stratum' query)."""
+    from ocr_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        q.select(
+            "lang", "doc_id", "quality",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+
+
+def q_union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-branch ∪ PDF-branch outputs as one corpus (unionByName), with
+    per-branch counts — the set-op surface (SURVEY §2.6)."""
+    html = q_extract_html(spark, sf_dir).select(
+        "url", F.lit("html").alias("branch"), F.length("extracted_text").cast("long").alias("text_len")
+    )
+    pdf = q_extract_pdf(spark, sf_dir).select(
+        "url", F.lit("pdf").alias("branch"), F.length("extracted_text").cast("long").alias("text_len")
+    )
+    both = html.unionByName(pdf)
+    return both.groupBy("branch").agg(
+        F.count("*").alias("n_docs"), F.sum("text_len").alias("total_len")
+    )
+
+
 def q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -395,6 +427,23 @@ def q_rel_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (window lag + running sum + groupBy)."""
+    from ocr_spark.operators.sessions import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(events)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return s.select(
+        "user_id",
+        "session_no",
+        "n_events",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "sum_value",
+    )
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
@@ -433,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_topk_quality": q_text_topk_quality,
+        "union_branches": q_union_branches,
         "sim_topk": q_sim_topk,
         "sim_lsh": q_sim_lsh,
         "sim_knn_label": q_sim_knn_label,
@@ -440,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_orders": q_rel_top_orders,
         "rel_nation_revenue": q_rel_nation_revenue,
         "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -577,6 +629,39 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
         """,
+        "text_topk_quality": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     len({_DWORDS}) AS n_tokens,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+                     len(list_filter({_DWORDS},
+                         x -> x IN ('the','a','and','of','in','to','is'))) AS n_stop
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, lang,
+                     round(least(n_tokens / 64.0, 1.0)
+                           * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+                           * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE)
+                                / greatest(n_tokens, 1) * 5.0, 1.0)), 6) AS quality
+              FROM t
+            )
+            SELECT lang, doc_id, quality, rk FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk
+              FROM q
+            ) WHERE rk <= 5
+        """,
+        "union_branches": f"""
+            SELECT 'html' AS branch, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_len
+            FROM documents
+            UNION ALL
+            SELECT 'pdf' AS branch, count(*) AS n_docs,
+                   CAST(sum(length({_pdf_expected_sql()})) AS BIGINT) AS total_len
+            FROM documents
+        """,
         "sim_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),
@@ -658,6 +743,27 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY ALL
+        """,
+        "events_sessions": """
+            WITH g AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            n AS (
+              SELECT *, CAST(sum(new_s) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                  AS session_no
+              FROM g
+            )
+            SELECT user_id, session_no, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                   round(sum(value), 4) AS sum_value
+            FROM n GROUP BY user_id, session_no
         """,
         # dedup_simhash, sim_lsh: xxhash64-based — not expressible in the
         # DuckDB oracle dialect; driver records rows-only checks.
