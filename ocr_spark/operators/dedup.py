@@ -94,9 +94,12 @@ def lsh_candidate_pairs(
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     signature length = n_bands * rows_per_band min-hashes; band bucket =
-    md5(concat of that band's rows). The self-join runs per (band, bucket)
-    group — groupBy + explode of intra-bucket pairs, never a global O(N²).
-    Returns (doc_id_a, doc_id_b) distinct, a < b.
+    md5(concat of that band's rows). Pair generation is a hash self-join on
+    (band, bucket) — equi-keyed, AQE-skew-splittable, never a global O(N²).
+    Pathological buckets (the hot-bucket skew case, same rationale as the
+    reference's ``max_box_num`` cap) are dropped before the join: a bucket
+    of m docs would emit m(m-1)/2 pairs. Returns (doc_id_a, doc_id_b)
+    distinct, a < b.
     """
     k = n_bands * rows_per_band
     sigs = minhash_signatures(docs, n_hashes=k, shingle_n=shingle_n)
@@ -122,22 +125,23 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    grouped = bands.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    # the bands relation feeds three consumers (size census + both join
+    # sides); without a persist each would re-tokenize and re-hash the
+    # whole corpus. Slim rows (id, band, 16-byte bucket) — safe to cache.
+    bands = bands.persist()
+    sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("m"))
+    ok = sizes.filter((F.col("m") > 1) & (F.col("m") <= 1024)).select(
+        "band", "bucket"
     )
-    # bound pathological buckets (hot-bucket skew cap, same rationale as the
-    # reference's max_box_num): a bucket of m docs yields m(m-1)/2 pairs
-    grouped = grouped.filter((F.size("ids") > 1) & (F.size("ids") <= 1024))
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, size(ids) - 1), "
-                "i -> transform(slice(ids, i + 1, size(ids) - i), "
-                "j -> struct(ids[i - 1] as a, j as b))))"
-            )
-        ).alias("p")
-    ).select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
-    return pairs.distinct()
+    pruned = bands.join(ok, ["band", "bucket"])
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    pairs = a.join(b, ["band", "bucket"]).filter(
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(

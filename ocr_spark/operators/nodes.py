@@ -40,31 +40,32 @@ NODE_SCHEMA = T.StructType(
 
 
 def _tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    col_keys = (
+        "node_id", "tag", "depth", "text", "text_len", "link_text_len",
+        "n_tags", "n_links", "span_start", "span_end", "negative",
+    )
     for pdf in batches:
-        rows: dict[str, list] = {f.name: [] for f in NODE_SCHEMA.fields}
-        # parse every doc in the batch, concatenating node records
-        batch_tags: list[str] = []
+        # parse every doc in the batch, concatenating node records; column
+        # extraction is one comprehension per key over the record list (a
+        # struct-of-arrays transpose), not per-row dict appends
+        recs: list[dict] = []
+        urls: list[str] = []
         for url, html in zip(pdf["url"], pdf["html"]):
-            for r in tokenize_html(html):
-                rows["url"].append(url)
-                for k in (
-                    "node_id", "tag", "depth", "text", "text_len",
-                    "link_text_len", "n_tags", "n_links",
-                    "span_start", "span_end", "negative",
-                ):
-                    rows[k].append(r[k])
-                batch_tags.append(r["tag"])
-                rows["score"].append(r["attr_pos"])  # placeholder, fixed below
-        if not rows["url"]:
-            yield pd.DataFrame({f.name: pd.Series(dtype="object") for f in NODE_SCHEMA.fields})
+            rs = tokenize_html(html)
+            recs.extend(rs)
+            urls.extend([url] * len(rs))
+        if not recs:
             continue
+        rows: dict[str, list] = {"url": urls}
+        for k in col_keys:
+            rows[k] = [r[k] for r in recs]
         # vectorized scoring across ALL nodes of the batch at once
         scores = score_nodes(
-            np.array(batch_tags, dtype=object),
+            np.array(rows["tag"], dtype=object),
             np.array(rows["text_len"], dtype=np.int64),
             np.array(rows["link_text_len"], dtype=np.int64),
             np.array(rows["negative"], dtype=bool),
-            np.array(rows["score"], dtype=bool),  # attr_pos stashed here
+            np.fromiter((r["attr_pos"] for r in recs), dtype=bool, count=len(recs)),
         )
         rows["score"] = scores.tolist()
         yield pd.DataFrame(rows)

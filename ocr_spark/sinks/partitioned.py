@@ -49,13 +49,12 @@ from ocr_spark.config import HOST_HASH_BUCKETS, HOT_HOST_SALT
 
 def with_partition_keys(extracted: DataFrame) -> DataFrame:
     """Adds crawl_date / host_bucket / salt columns from (url, warc_ts)."""
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    from ocr_spark.functions import salt_of_url, url_host_bucket
+
     return (
         extracted.withColumn("crawl_date", F.to_date("warc_ts"))
-        .withColumn(
-            "host_bucket", F.pmod(F.xxhash64(host), F.lit(HOST_HASH_BUCKETS))
-        )
-        .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(HOT_HOST_SALT)))
+        .withColumn("host_bucket", url_host_bucket("url", HOST_HASH_BUCKETS))
+        .withColumn("salt", salt_of_url("url", HOT_HOST_SALT))
     )
 
 
