@@ -121,10 +121,13 @@ def extract_and_write(
         extracted = extract_pages(day_pages)
         keyed = with_partition_keys(extracted)
         # salt in the exchange, not the layout (see module docstring)
-        keyed.repartition("crawl_date", "host_bucket", "salt").drop(
-            "salt"
-        ).write.mode("overwrite").partitionBy("crawl_date", "host_bucket").parquet(
-            f"{out_dir}/data"
+        from ocr_spark.sinks.tableio import write_table
+
+        write_table(
+            keyed.repartition("crawl_date", "host_bucket", "salt").drop("salt"),
+            f"{out_dir}/data",
+            ["crawl_date", "host_bucket"],
+            mode="overwrite_partitions",
         )
         # lineage + manifest commit AFTER the data write returns
         out_keyed = spark.read.parquet(f"{out_dir}/data").filter(

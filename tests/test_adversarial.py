@@ -1,0 +1,92 @@
+"""Adversarial page corpus through the full Spark extraction path: no
+crashes, deterministic output, pathological structures bounded."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from ocr_spark.operators.extract_html import extract_pages
+from ocr_spark.sources.pages import PAGES_SCHEMA
+
+TS = datetime.datetime(2024, 1, 1)
+
+
+def _rows():
+    return [
+        ("u:empty", TS, bytearray(b""), "", "en"),
+        ("u:garbage", TS, bytearray(bytes(range(256)) * 4), "", "en"),
+        (
+            "u:nav5000",
+            TS,
+            bytearray(
+                (
+                    "<body><nav>" + "<a href='/x'>link</a>" * 5000 + "</nav>"
+                    "<p>real content words here enough to score well over the "
+                    "threshold for sure</p></body>"
+                ).encode()
+            ),
+            "",
+            "en",
+        ),
+        (
+            "u:deep200",
+            TS,
+            bytearray(
+                (
+                    "<body>" + "<div>" * 200
+                    + "<p>deep content paragraph with plenty of words to be kept</p>"
+                    + "</div>" * 200 + "</body>"
+                ).encode()
+            ),
+            "",
+            "en",
+        ),
+        (
+            "u:unicode",
+            TS,
+            bytearray(
+                "<body><p>emoji 🎉🎈 and CJK 中文字符 content with enough words "
+                "to stay</p></body>".encode()
+            ),
+            "",
+            "en",
+        ),
+        ("u:truncated", TS, bytearray(b"<body><div class="), "", "en"),
+        (
+            "u:hugetext",
+            TS,
+            bytearray(("<body><p>" + "word " * 200_000 + "</p></body>").encode()),
+            "",
+            "en",
+        ),
+    ]
+
+
+def test_adversarial_no_crash_and_deterministic(spark):
+    df = spark.createDataFrame(_rows(), PAGES_SCHEMA)
+    a = {r.url: (r.extracted_text, r.n_blocks) for r in extract_pages(df).collect()}
+    b = {r.url: (r.extracted_text, r.n_blocks) for r in extract_pages(df).collect()}
+    assert a == b
+    assert len(a) == len(_rows())
+    assert a["u:empty"][1] == 0
+    assert a["u:nav5000"][0].startswith("real content words")
+    assert "deep content paragraph" in a["u:deep200"][0]
+    assert "🎉🎈" in a["u:unicode"][0] and "中文字符" in a["u:unicode"][0]
+    assert a["u:hugetext"][1] >= 1  # giant single block survives, bounded
+
+
+def test_spans_cover_extracted_text(spark):
+    from ocr_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").limit(50)
+    out = extract_pages(pages)
+    rows = out.collect()
+    for r in rows:
+        for s in r.spans:
+            assert 0 <= s.start <= s.end <= len(r.extracted_text)
+        # spans tile the text exactly (separator-aware)
+        total = sum(s.end - s.start for s in r.spans)
+        seps = max(len(r.spans) - 1, 0) * 2  # "\n\n"
+        assert total + seps == len(r.extracted_text)

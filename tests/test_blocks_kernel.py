@@ -113,3 +113,19 @@ def test_assemble_multi_page_order():
     text, ids = assemble_pdf_text(pages, boxes, scores, ["second", "first"], np.array([7, 3]))
     assert text == "first\n\nsecond"
     assert ids == [3, 7]
+
+
+def test_keep_representatives(spark):
+    """dedup.keep_representatives: min-id survives each dup pair."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.dedup import keep_representatives
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (1, 4), (3, 5)], "doc_id_a long, doc_id_b long"
+    )
+    kept = sorted(r.doc_id for r in keep_representatives(docs, pairs).collect())
+    assert kept == [0, 1, 2]
