@@ -106,15 +106,21 @@ def wrap_html(main_text: str, url: str, n_paragraphs: int = 1) -> bytes:
 
 
 def wrap_html_with_images(
-    main_text: str, url: str, line_texts: list[str], n_paragraphs: int = 1
+    main_text: str,
+    url: str,
+    line_texts: list[str],
+    n_paragraphs: int = 1,
+    scales: list[int] | None = None,
 ) -> bytes:
     """wrap_html + embedded text-line images (the OCR-branch fixture).
 
-    Each line text renders to the 8×384 glyph strip
-    (``kernels.ocr.render_line``), is packed to uint8 and base64-embedded
-    as ``<img class="embedded-line" data-strip=... data-width=...>`` inside
-    the article — the web-page analog of the reference's image-embedded
-    text regions that RoIRotate crops for recognition
+    Each line text renders to the 8-row glyph strip
+    (``kernels.ocr.render_line``), optionally integer-upscaled (scale s →
+    an 8s-row image, announced via ``data-height``, which the detect stage
+    must resample back through ``normalize_strip``), packed to uint8 and
+    base64-embedded as ``<img class="embedded-line" ...>`` inside the
+    article — the web-page analog of the reference's image-embedded text
+    regions that RoIRotate crops + resamples for recognition
     (``/root/reference/Module/RRotateLayer.py:67-116``).
     """
     import base64
@@ -125,14 +131,24 @@ def wrap_html_with_images(
 
     doc = wrap_html(main_text, url, n_paragraphs=n_paragraphs).decode("utf-8")
     imgs = []
-    for t in line_texts:
+    scales = scales or [1] * len(line_texts)
+    for t, s in zip(line_texts, scales):
         strip, width = render_line(t)
+        if s == 1:
+            payload_arr = strip  # full 8×384 padded strip
+            h_attr = ""
+        else:
+            content = strip[:, :width]
+            scaled = np.repeat(np.repeat(content, s, axis=0), s, axis=1)
+            payload_arr = scaled
+            width = width * s
+            h_attr = f'data-height="{8 * s}" '
         payload = base64.b64encode(
-            (strip * 255).astype(np.uint8).tobytes()
+            (payload_arr * 255).astype(np.uint8).tobytes()
         ).decode("ascii")
         imgs.append(
             f'<img class="embedded-line" data-width="{width}" '
-            f'data-strip="{payload}" alt="">'
+            f'{h_attr}data-strip="{payload}" alt="">'
         )
     doc = doc.replace("</article>", "".join(imgs) + "</article>", 1)
     return doc.encode("utf-8")

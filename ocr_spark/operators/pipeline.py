@@ -35,9 +35,14 @@ from ocr_spark.config import BLOCK_SEPARATOR, LINE_HEIGHT, MAX_LINE_WIDTH
 
 # embedded-line detector: the stand-in for the reference's detection head
 # over image content (score map → boxes); here lines announce themselves
-# via the data-strip attribute written by the fixture generator
+# via the data-strip attribute written by the fixture generator. Optional
+# data-height marks a strip rendered at a height other than 8 — the detect
+# stage resamples it through ``normalize_strip`` (the RoIRotate analog:
+# arbitrary-height crop → fixed 8×⌈8w/h⌉ pad-384 geometry,
+# ``/root/reference/Module/RRotateLayer.py:94-107``).
 _IMG_RE = re.compile(
-    r'<img[^>]*?data-width="(\d+)"[^>]*?data-strip="([A-Za-z0-9+/=]+)"'
+    r'<img[^>]*?data-width="(\d+)"[^>]*?'
+    r'(?:data-height="(\d+)"[^>]*?)?data-strip="([A-Za-z0-9+/=]+)"'
 )
 
 _LINES_SCHEMA = (
@@ -46,20 +51,33 @@ _LINES_SCHEMA = (
 
 
 def _detect_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_spark.kernels.ocr import normalize_strip
+
     for pdf in batches:
         urls, ids, strips, widths = [], [], [], []
         for url, html in zip(pdf["url"], pdf["html"]):
             text = bytes(html).decode("utf-8", errors="replace")
             for i, m in enumerate(_IMG_RE.finditer(text)):
                 width = int(m.group(1))
+                height = int(m.group(2)) if m.group(2) else LINE_HEIGHT
                 raw = np.frombuffer(
-                    base64.b64decode(m.group(2)), dtype=np.uint8
+                    base64.b64decode(m.group(3)), dtype=np.uint8
                 ).astype(np.float32) / 255.0
-                if raw.size != LINE_HEIGHT * MAX_LINE_WIDTH:
-                    continue  # malformed payload: skip, never crash the task
+                if height == LINE_HEIGHT:
+                    if raw.size != LINE_HEIGHT * MAX_LINE_WIDTH:
+                        continue  # malformed payload: skip, never crash
+                    strip = raw.reshape(LINE_HEIGHT, MAX_LINE_WIDTH)
+                else:
+                    if raw.size % height != 0:
+                        continue
+                    tall = raw.reshape(height, raw.size // height)
+                    # crop to true content width before resampling, as
+                    # RoIRotate crops the box before the affine resample
+                    tall = tall[:, : width]
+                    strip, width = normalize_strip(tall)
                 urls.append(url)
                 ids.append(i)
-                strips.append(raw.tolist())
+                strips.append(strip.ravel().tolist())
                 widths.append(width)
         if urls:  # an all-object empty frame cannot convert to list<float>
             yield pd.DataFrame(

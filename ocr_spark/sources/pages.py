@@ -81,8 +81,11 @@ def pages_with_images_from_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Pages whose article embeds two deterministic OCR text-line images:
-    the doc's first 20 non-space chars, and ``line<doc_id>`` — both
-    SQL-reconstructible, so the full-pipeline query is oracle-checkable."""
+    the doc's first 20 non-space chars (native 8-row strip), and
+    ``line<doc_id>`` rendered at 2× height — so the detect stage's
+    RoIRotate-analog resampling (``normalize_strip``) runs on real data.
+    Both decode to SQL-reconstructible text, keeping the full-pipeline
+    query oracle-checkable."""
     from ocr_spark.kernels.synth import wrap_html_with_images
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -103,7 +106,9 @@ def pages_with_images_from_documents(
                 ]
                 urls.append(url)
                 tss.append(pd.Timestamp(warc_ts_for_doc(int(doc_id)), unit="s"))
-                htmls.append(wrap_html_with_images(text, url, lines))
+                htmls.append(
+                    wrap_html_with_images(text, url, lines, scales=[1, 2])
+                )
             yield pd.DataFrame(
                 {
                     "url": urls,
