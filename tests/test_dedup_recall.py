@@ -1,0 +1,96 @@
+"""Dedup stack on a corpus with PLANTED duplicates: exact dups, word-drop
+near-dups, and unrelated docs. Verifies recall/precision of the LSH
+candidate generation, Jaccard verification, and representative selection —
+the driver testdata has no duplicates, so this synthesizes them."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_spark.operators.dedup import (
+    exact_dedup,
+    keep_representatives,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+N_BASE = 120
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """base docs 0..N-1; near-dup of doc i at id i+10000 (every 12th word
+    dropped); exact dup of doc i at id i+20000 for i % 3 == 0."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < N_BASE)
+        .select("doc_id", "text", "source")
+    )
+    rows = docs.collect()
+    out = [(r.doc_id, r.text, r.source) for r in rows]
+    for r in rows:
+        words = r.text.split(" ")
+        mutated = " ".join(w for i, w in enumerate(words) if i % 12 != 5)
+        out.append((r.doc_id + 10_000, mutated, r.source))
+        if r.doc_id % 3 == 0:
+            out.append((r.doc_id + 20_000, r.text, r.source))
+    return spark.createDataFrame(out, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_finds_planted_exact_dups(spark, planted):
+    groups = exact_dedup(planted)
+    dup_groups = groups.filter(F.col("n_copies") > 1)
+    expected_exact = sum(1 for i in range(N_BASE) if i % 3 == 0)
+    assert dup_groups.count() == expected_exact
+    # representative is always the min id (the base doc)
+    assert dup_groups.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_lsh_recall_on_near_dups(spark, planted):
+    # 8 bands × 2 rows: for J=0.5 (short docs, one dropped word kills 3 of
+    # ~8 shingles) P(candidate) = 1-(1-J²)^8 ≈ 0.90; 4×2 would sit at ~0.68
+    # — recall is a banding-parameter choice, so the test pins the tuned
+    # configuration, not a lucky default
+    pairs = lsh_candidate_pairs(planted, n_bands=8, rows_per_band=2)
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+    planted_pairs = {(i, i + 10_000) for i in range(N_BASE)}
+    recall = len(got & planted_pairs) / len(planted_pairs)
+    assert recall >= 0.9, f"LSH recall {recall}"
+
+
+def test_jaccard_verifies_candidates(spark, planted):
+    pairs = ngram_jaccard_pairs(planted, min_jaccard=0.5)
+    got = {(r.doc_id_a, r.doc_id_b): r.jaccard for r in pairs.collect()}
+    hits = sum(1 for i in range(N_BASE) if (i, i + 10_000) in got)
+    assert hits >= 0.95 * N_BASE
+    # unrelated base docs must not cross the 0.5 bar
+    false_pairs = [
+        (a, b) for (a, b) in got if a < 10_000 and b < 10_000 and a != b
+    ]
+    assert not false_pairs, false_pairs[:5]
+
+
+def test_simhash_separates_near_dups(spark, planted):
+    pairs = simhash_near_pairs(planted, max_hamming=12)
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+    planted_pairs = {(i, i + 10_000) for i in range(N_BASE)}
+    recall = len(got & planted_pairs) / len(planted_pairs)
+    assert recall >= 0.8, f"simhash recall {recall}"
+
+
+def test_end_to_end_dedup_pipeline(spark, planted):
+    """LSH candidates → Jaccard verify → drop losers: every base doc
+    survives, every planted near/exact dup is gone."""
+    cands = lsh_candidate_pairs(planted, n_bands=8, rows_per_band=2)
+    sh = planted
+    verified = ngram_jaccard_pairs(sh, min_jaccard=0.5).join(
+        cands, ["doc_id_a", "doc_id_b"]
+    )
+    survivors = keep_representatives(planted, verified)
+    ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    assert all(i in ids for i in range(N_BASE))
+    killed = [i + 10_000 for i in range(N_BASE) if (i + 10_000) not in ids]
+    assert len(killed) >= 0.9 * N_BASE
