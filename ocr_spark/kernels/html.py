@@ -64,10 +64,14 @@ _BLOCK_TAGS = frozenset(
 _VOID_TAGS = frozenset("br hr img meta link input area base col source track wbr".split())
 
 # class/id boilerplate patterns (readability-style negative signals).
+# Long unambiguous tokens match as substrings (readability's own style —
+# "comments", "advertisement", "share-bar" all hit); short tokens that
+# collide with common words (ad ⊂ header/read, nav, cta) stay bounded.
 _NEG_ATTR_RE = re.compile(
-    r"(?:^|[\s_-])(nav|menu|footer|header|sidebar|side-bar|comment|banner|"
-    r"advert|ad|ads|promo|share|social|breadcrumb|cookie|popup|masthead|"
-    r"related|widget|cta|subscribe)(?:$|[\s_-])",
+    r"menu|footer|header|sidebar|side-bar|comment|banner|advert|promo|"
+    r"share|social|breadcrumb|cookie|popup|masthead|related|widget|"
+    r"subscribe|sponsor|shoutbox|newsletter"
+    r"|(?:^|[\s_-])(?:nav|ad|ads|cta)(?:$|[\s_-])",
     re.IGNORECASE,
 )
 # class/id positive signals (readability candidates).
