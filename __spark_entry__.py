@@ -427,6 +427,45 @@ def q_rel_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup over lineitem flags (grouping-sets surface)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (left anti join — the resume pattern)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        customer.join(
+            orders.select("o_custkey"), customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count rollup per market segment."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (window lag + running sum + groupBy)."""
     from ocr_spark.operators.sessions import sessionize
@@ -490,6 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_orders": q_rel_top_orders,
         "rel_nation_revenue": q_rel_nation_revenue,
+        "rel_rollup": q_rel_rollup,
+        "rel_anti_join": q_rel_anti_join,
+        "rel_distinct": q_rel_distinct,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
     }
@@ -737,6 +779,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "rel_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "rel_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            )
+        """,
+        "rel_distinct": """
+            SELECT c_mktsegment,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "events_windowed": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
