@@ -93,7 +93,7 @@ _LEN_NORM = {
 _DEFAULT_LEN_NORM = 40.0
 
 
-@dataclass
+@dataclass(slots=True)
 class _Block:
     tag: str
     depth: int
@@ -106,7 +106,7 @@ class _Block:
     n_links: int = 0
 
 
-@dataclass
+@dataclass(slots=True)
 class _Elem:
     tag: str
     neg_bump: bool
