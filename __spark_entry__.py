@@ -15,6 +15,7 @@ cannot flip the value hash.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -123,15 +124,11 @@ def q_extract_html_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 exps.append(BLOCK_SEPARATOR.join(p for p in paras if p))
             yield pd.DataFrame({"url": urls, "expected_text": exps})
 
+    from ocr_spark.operators.extract_html import extraction_match_rate
+
     docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
     expected = docs.mapInPandas(expected_fn, schema="url string, expected_text string")
-    joined = out.join(expected, "url", "left")
-    return joined.select(
-        "url",
-        F.coalesce(
-            F.col("extracted_text") == F.col("expected_text"), F.lit(False)
-        ).alias("match"),
-    )
+    return extraction_match_rate(out, expected)
 
 
 def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +213,10 @@ def q_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, strips, widths = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                s = str(text).replace(" ", "")[:40]
+                # strip to alphanumerics so the rendered text is fully
+                # in-vocabulary — render_line silently drops OOV chars,
+                # which would diverge from the oracle's substr otherwise
+                s = re.sub(r"[^0-9a-zA-Z]", "", str(text))[:40]
                 strip, width = render_line(s)
                 ids.append(int(doc_id))
                 strips.append(strip.ravel().tolist())
@@ -552,7 +552,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_full": f"""
             SELECT {_URL_SQL} AS url,
                    text || chr(10) || chr(10)
-                        || substr(replace(text, ' ', ''), 1, 20)
+                        || substr(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'),
+                                  1, 20)
                         || chr(10) || chr(10)
                         || 'line' || CAST(doc_id AS VARCHAR) AS extracted_text
             FROM documents
@@ -574,7 +575,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ocr_roundtrip": """
-            SELECT doc_id, substr(replace(text, ' ', ''), 1, 40) AS text_out
+            SELECT doc_id,
+                   substr(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'), 1, 40)
+                       AS text_out
             FROM documents
         """,
         "media_features": """
@@ -600,9 +603,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, band,
                      md5(concat_ws('|', sig[2*band+1], sig[2*band+2])) AS bucket
               FROM s, (SELECT unnest(range(4)) AS band)
-            )
+            ),
+            ok AS (
+              SELECT band, bucket FROM b GROUP BY band, bucket
+              HAVING count(*) > 1 AND count(*) <= 1024
+            ),
+            p AS (SELECT b.* FROM b JOIN ok USING (band, bucket))
             SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
-            FROM b a JOIN b c USING (band, bucket)
+            FROM p a JOIN p c USING (band, bucket)
             WHERE a.doc_id < c.doc_id
         """,
         "dedup_jaccard": f"""

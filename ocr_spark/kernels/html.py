@@ -291,7 +291,11 @@ def tokenize_html(html_bytes: bytes | str, fast: bool = True) -> list[dict]:
             tok.feed(html_text)
             tok.close()
     except Exception:
-        pass  # malformed beyond repair: fall through with what we have
+        # One poisonous document must not kill a 10^12-doc job's task, but a
+        # SILENT PARTIAL result would break the byte-identical contract
+        # undetectably — so a parse failure yields an EMPTY extraction
+        # (n_blocks=0), a clean signal downstream metrics can count.
+        return []
     return tok.finish()
 
 

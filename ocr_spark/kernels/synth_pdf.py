@@ -16,7 +16,7 @@ Layout families (doc_id % 3):
 
 from __future__ import annotations
 
-BLOCK_SEPARATOR = "\n\n"
+from ocr_spark.config import BLOCK_SEPARATOR
 
 
 def _words(doc_id: int, tag: int) -> str:

@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 
 _WORDS = "filter(split(text, '\\\\s+'), x -> x != '')"
 
+# hot-bucket cap for LSH banding: a bucket of m docs yields m(m-1)/2 pairs;
+# buckets beyond this are dropped (the reference's max_box_num rationale).
+# Any oracle re-implementation must apply the SAME cap.
+MAX_LSH_BUCKET = 1024
+
 
 def shingles(n: int = 3) -> str:
     """SQL expression producing the distinct word n-gram set of ``text``.
@@ -128,20 +133,32 @@ def lsh_candidate_pairs(
     # the bands relation feeds three consumers (size census + both join
     # sides); without a persist each would re-tokenize and re-hash the
     # whole corpus. Slim rows (id, band, 16-byte bucket) — safe to cache.
+    # The candidate-pair result (≪ corpus) is materialized eagerly so the
+    # bands cache can be released before returning — no cache leak across
+    # repeated invocations.
     bands = bands.persist()
-    sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("m"))
-    ok = sizes.filter((F.col("m") > 1) & (F.col("m") <= 1024)).select(
-        "band", "bucket"
-    )
-    pruned = bands.join(ok, ["band", "bucket"])
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    pairs = a.join(b, ["band", "bucket"]).filter(
-        F.col("a.doc_id") < F.col("b.doc_id")
-    )
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
-    ).distinct()
+    try:
+        sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("m"))
+        ok = sizes.filter(
+            (F.col("m") > 1) & (F.col("m") <= MAX_LSH_BUCKET)
+        ).select("band", "bucket")
+        pruned = bands.join(ok, ["band", "bucket"])
+        a = pruned.alias("a")
+        b = pruned.alias("b")
+        pairs = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+            )
+            .distinct()
+            .persist()
+        )
+        pairs.count()  # materialize while bands is cached
+        return pairs
+    finally:
+        bands.unpersist()
 
 
 def ngram_jaccard_pairs(

@@ -41,7 +41,10 @@ PDF_EXTRACTED_SCHEMA = T.StructType(
 
 
 def _extract_group(pdf: pd.DataFrame) -> dict:
-    pdf = pdf.iloc[:MAX_BLOCKS_PER_PAGE]
+    # the cap is PER PAGE (config semantics): a many-page document keeps
+    # every page's head, it is one pathological page that gets clipped
+    if len(pdf) > MAX_BLOCKS_PER_PAGE:
+        pdf = pdf.groupby("page", sort=False).head(MAX_BLOCKS_PER_PAGE)
     text, ids = assemble_pdf_text(
         pdf["page"].to_numpy(np.int64),
         pdf[["x0", "y0", "x1", "y1"]].to_numpy(np.float64),

@@ -81,11 +81,15 @@ def pages_with_images_from_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Pages whose article embeds two deterministic OCR text-line images:
-    the doc's first 20 non-space chars (native 8-row strip), and
+    the doc's first 20 alphanumeric chars (native 8-row strip; alnum-only
+    so every char is in CHAR_VECTOR — render_line drops OOV chars, which
+    would silently diverge from any SQL reconstruction), and
     ``line<doc_id>`` rendered at 2× height — so the detect stage's
     RoIRotate-analog resampling (``normalize_strip``) runs on real data.
     Both decode to SQL-reconstructible text, keeping the full-pipeline
     query oracle-checkable."""
+    import re as _re
+
     from ocr_spark.kernels.synth import wrap_html_with_images
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -101,7 +105,7 @@ def pages_with_images_from_documents(
             ):
                 url = url_for_doc(int(doc_id), str(source))
                 lines = [
-                    str(text).replace(" ", "")[:20],
+                    _re.sub(r"[^0-9a-zA-Z]", "", str(text))[:20],
                     f"line{int(doc_id)}",
                 ]
                 urls.append(url)
