@@ -342,6 +342,16 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, _queries_df(spark, sf_dir), dim=64, k=5, n_planes=6)
 
 
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic distributed k-means coarse quantizer +
+    probed exact rank (rows-only: the iterative fit has no SQL twin)."""
+    from ocr_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit(emb, k=16, iters=4)
+    return ivf_topk(emb, _queries_df(spark, sf_dir), cents, k=5, n_probe=8)
+
+
 def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.similarity import cosine_topk, label_knn_accuracy
 
@@ -525,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_branches": q_union_branches,
         "sim_topk": q_sim_topk,
         "sim_lsh": q_sim_lsh,
+        "sim_ivf": q_sim_ivf,
         "sim_knn_label": q_sim_knn_label,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_top_orders": q_rel_top_orders,

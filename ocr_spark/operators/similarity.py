@@ -133,6 +133,140 @@ def lsh_topk(
     )
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+):
+    """Deterministic distributed Lloyd's k-means → centroid matrix [k, d].
+
+    Init is RNG-free: the k vectors with the smallest vec_id (stable under
+    reruns — the engine's determinism rule). Per iteration: one Arrow-UDF
+    assignment pass (batched ``B×d @ d×k`` matmul — the reference's batched
+    inference discipline) and one element-wise mean via ``posexplode`` +
+    groupBy — both fully distributed; only the k×d centroid matrix ever
+    reaches the driver. Empty clusters keep their previous centroid.
+    """
+    import numpy as np
+
+    init_rows = (
+        embeddings.orderBy("vec_id").limit(k).select(vec_col).collect()
+    )
+    cents = np.array([r[0] for r in init_rows], dtype=np.float64)
+    slim = embeddings.select("vec_id", vec_col)
+    for _ in range(iters):
+        assigned = _assign_clusters(slim, cents, vec_col)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        counts = np.zeros(len(cents))
+        for r in sums:
+            new[r.cluster, r.pos] = r.s / r.n
+            counts[r.cluster] = r.n
+        cents = new
+    return cents
+
+
+def _assign_clusters(
+    embeddings: DataFrame, centroids, vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds a ``cluster`` column: nearest centroid by L2 (batched matmul
+    inside an iterator Arrow UDF; centroids ride in the closure)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorm2 = (cents * cents).sum(axis=1)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema.fields
+    ) + ", cluster int"
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # argmin ||x-c||² = argmin (−2x·c + ||c||²)
+            d = -2.0 * (X @ cents.T) + cnorm2[None, :]
+            pdf = pdf.copy()
+            pdf["cluster"] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return embeddings.mapInPandas(fn, schema=out_schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: candidates pruned to the query's n_probe
+    nearest clusters, then exact cosine rank within the probed set.
+
+    Physical shape: candidate side carries a ``cluster`` column (one
+    map-side pass; at scale it is precomputed and the table is bucketed by
+    it); the query side explodes into (query, probe) rows and the pruning
+    is an equi-join on cluster — the same join-not-crossproduct shape as
+    the LSH path, with recall controlled by n_probe/k.
+    """
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cand = _assign_clusters(embeddings.select("vec_id", vec_col), cents, vec_col)
+    cand = _with_norm(cand, vec_col).select(
+        "cluster", "vec_id", F.col(vec_col).alias("_cv"), F.col("_norm").alias("_cn")
+    )
+
+    cnorm2 = (cents * cents).sum(axis=1)
+
+    def probes_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qv"]])
+            d = -2.0 * (X @ cents.T) + cnorm2[None, :]
+            order = np.argsort(d, axis=1)[:, :n_probe]
+            rows = {
+                "query_id": np.repeat(pdf["query_id"].to_numpy(), n_probe),
+                "_qv": [v for v in pdf["_qv"] for _ in range(n_probe)],
+                "_qn": np.repeat(pdf["_qn"].to_numpy(), n_probe),
+                "cluster": order.ravel().astype("int32"),
+            }
+            yield pd.DataFrame(rows)
+
+    q = _with_norm(queries, vec_col).select(
+        "query_id", F.col(vec_col).alias("_qv"), F.col("_norm").alias("_qn")
+    )
+    probed = q.mapInPandas(
+        probes_fn,
+        schema="query_id long, _qv array<float>, _qn double, cluster int",
+    )
+    paired = cand.join(F.broadcast(probed), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.expr(_DOT.format(a="_qv", b="_cv")) / (F.col("_qn") * F.col("_cn"))
+    scored = paired.select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def label_knn_accuracy(topk: DataFrame, embeddings: DataFrame) -> DataFrame:
     """Majority-label agreement of each query's neighbors vs its own label —
     the standard sanity metric for an ANN index. Returns one row:

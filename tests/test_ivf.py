@@ -1,0 +1,63 @@
+"""IVF index: deterministic k-means fit, full assignment, recall vs exact."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_spark.operators.similarity import (
+    _assign_clusters,
+    cosine_topk,
+    ivf_topk,
+    kmeans_fit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def centroids(spark, emb):
+    return kmeans_fit(emb, k=16, iters=4)
+
+
+def test_kmeans_deterministic(spark, emb, centroids):
+    again = kmeans_fit(emb, k=16, iters=4)
+    assert np.allclose(centroids, again, atol=0, rtol=0)
+    assert centroids.shape == (16, 64)
+
+
+def test_assignment_total_and_stable(spark, emb, centroids):
+    assigned = _assign_clusters(emb.select("vec_id", "embedding"), centroids)
+    n = emb.count()
+    assert assigned.count() == n
+    dist = assigned.groupBy("cluster").count().collect()
+    assert sum(r["count"] for r in dist) == n
+    # k-means on real data should populate most clusters
+    assert len(dist) >= 8
+
+
+def test_ivf_recall_vs_exact(spark, emb, centroids):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, centroids, k=5, n_probe=8)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 8 of 16 probes over near-uniform vectors: recall well above the
+    # n_probe/k fraction because the true neighbors concentrate in the
+    # query's own cells
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # approx results are a subset of valid neighbors: cos values must match
+    # exact computation for the overlapping pairs
+    ej = exact.select("query_id", "vec_id", F.col("cos").alias("ec"))
+    aj = approx.select("query_id", "vec_id", "cos")
+    joined = aj.join(ej, ["query_id", "vec_id"])
+    assert joined.filter(F.col("cos") != F.col("ec")).count() == 0
