@@ -360,6 +360,19 @@ def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_knn_accuracy(topk, emb)
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio gate (rows-only: no SQL zlib)."""
+    from ocr_spark.operators.textstats import compression_ratio
+
+    return compression_ratio(_docs(spark, sf_dir))
+
+
 def q_text_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 documents per language by quality score (window top-k over a
     computed metric — the corpus-curation 'best docs per stratum' query)."""
@@ -531,6 +544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_compression": q_text_compression,
         "text_topk_quality": q_text_topk_quality,
         "union_branches": q_union_branches,
         "sim_topk": q_sim_topk,
@@ -689,6 +704,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
+        """,
+        "text_repetition": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     round(1.0 - CAST(len(list_distinct({_DWORDS})) AS DOUBLE)
+                           / greatest(len({_DWORDS}), 1), 6) AS dup_token_ratio
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len({_DWORDS}) < 2 THEN []
+                ELSE list_transform(range(len({_DWORDS}) - 1),
+                     i -> array_to_string({_DWORDS}[i+1:i+2], ' ')) END
+              ) AS b
+              FROM documents
+            ),
+            counts AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY ALL),
+            top AS (
+              SELECT doc_id,
+                     round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                         AS top_bigram_ratio
+              FROM counts GROUP BY doc_id
+            )
+            SELECT base.doc_id, dup_token_ratio,
+                   coalesce(top_bigram_ratio, 0.0) AS top_bigram_ratio
+            FROM base LEFT JOIN top USING (doc_id)
         """,
         "text_topk_quality": f"""
             WITH t AS (

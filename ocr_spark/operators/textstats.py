@@ -120,6 +120,70 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    (doc_id, dup_token_ratio, top_bigram_ratio): fraction of repeated
+    tokens, and the most-frequent word-bigram's share of all bigrams —
+    the standard machine-generated-text tells. Bigram counting is
+    explode → (doc, bigram) groupBy → per-doc max, all JVM-side; the
+    shuffle key is (doc_id, bigram), evenly spread by construction.
+    """
+    w = words()
+    base = docs.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1)),
+            6,
+        ).alias("dup_token_ratio"),
+    )
+    bigrams = F.expr(
+        f"case when size({_WORDS_EXPR.format(col='text')}) < 2 then array() "
+        f"else transform(sequence(1, size({_WORDS_EXPR.format(col='text')}) - 1), "
+        f"i -> concat_ws(' ', slice({_WORDS_EXPR.format(col='text')}, i, 2))) end"
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    counts = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    top = counts.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_ratio")
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "dup_token_ratio",
+        F.coalesce("top_bigram_ratio", F.lit(0.0)).alias("top_bigram_ratio"),
+    )
+
+
+def compression_ratio(docs: DataFrame) -> DataFrame:
+    """zlib compressed/raw byte ratio per document (low ratio = highly
+    repetitive/templated text — the Gopher compression gate). The codec is
+    per-batch Python (an iterator Arrow UDF; no JVM zlib expression
+    exists), everything else stays relational. (doc_id, n_bytes, ratio)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [str(t).encode("utf-8") for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in raw],
+                    "ratio": [
+                        round(len(zlib.compress(b, 6)) / max(len(b), 1), 6)
+                        for b in raw
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fn, schema="doc_id long, n_bytes long, ratio double"
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Whitespace-normalized content fingerprint per document.
 
