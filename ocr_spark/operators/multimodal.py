@@ -26,6 +26,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -112,6 +113,112 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     stage boundary (downstream shuffles never carry payloads)."""
     slim = media.select("media_id", "kind", "payload", "meta")
     return slim.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Decode + nearest-neighbor resize to a fixed raster per image row.
+
+    The deterministic resampler is the same gather pattern as the OCR
+    branch's ``normalize_strip`` (the RoIRotate geometry); a real
+    deployment swaps ``decode_image`` for a codec and keeps this exact
+    plumbing. Payload column dropped at the boundary.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, pix = [], [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                w = int(meta["width"] or 16)
+                h = int(meta["height"] or 16)
+                img = decode_image(bytes(payload), w, h)
+                ys = np.minimum(
+                    (np.arange(out_h) * h / out_h).astype(np.int64), h - 1
+                )
+                xs = np.minimum(
+                    (np.arange(out_w) * w / out_w).astype(np.int64), w - 1
+                )
+                small = img[np.ix_(ys, xs)].astype(np.float32)
+                ids.append(int(mid))
+                ws.append(out_w)
+                hs.append(out_h)
+                pix.append(small.ravel().tolist())
+            if ids:
+                yield pd.DataFrame(
+                    {"media_id": ids, "width": ws, "height": hs, "pixels": pix}
+                )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload", "meta"
+    ).mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_crc", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling for video rows: one output row per kept frame.
+
+    STUB codec: frame f of a fake video = sha256(payload || frame index)
+    pixels (deterministic). Real plumbing: the row explosion (one media
+    row → n_frames/every_n frame rows), per-frame features, and the
+    payload column dropped before the rows multiply — at scale the frame
+    table is orders of magnitude taller than the media table and must
+    never carry the source bytes.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, crcs, feats = [], [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                n_frames = int(meta["n_frames"] or 1)
+                payload = bytes(payload)
+                for f in range(0, n_frames, every_n):
+                    frame_bytes = hashlib.sha256(
+                        payload + f.to_bytes(4, "big")
+                    ).digest()
+                    img = decode_image(frame_bytes, 16, 16)
+                    bands = np.array_split(img, FEATURE_DIM, axis=1)
+                    feat = np.array([b.mean() for b in bands], dtype=np.float32)
+                    ids.append(int(mid))
+                    fnos.append(f)
+                    crcs.append(zlib.crc32(frame_bytes))
+                    feats.append(feat.tolist())
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "frame_no": fnos,
+                        "frame_crc": crcs,
+                        "feature": feats,
+                    }
+                )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", "meta"
+    ).mapInPandas(fn, schema=FRAMES_SCHEMA)
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
