@@ -14,6 +14,14 @@ verified by a differential test against the stdlib path
 The reference's analogous move is ``@tf.function`` graph compilation of
 its eager ops (``/root/reference/Module/DetectBackbone.py:21-23``): same
 computation, dispatch overhead removed.
+
+Known, deliberate divergence from html.parser: markup left UNTERMINATED at
+EOF (a ``<!--`` comment or ``<![CDATA[`` with no close) extends to the end
+of the document and is dropped — the HTML5 parsing-spec behavior — whereas
+html.parser's close() flushes the partial markup as text data. Truncated
+crawl payloads therefore lose a trailing partial comment rather than
+emitting comment markup as content text; the differential test scopes its
+guarantee to terminated documents accordingly.
 """
 
 from __future__ import annotations
@@ -28,15 +36,18 @@ _TAG_RE = re.compile(
     r"|!\[CDATA\[.*?(?:\]\]>|$)"  # CDATA section
     r"|![^>]*>?"  # <!doctype ...>
     r"|\?[^>]*>?"  # processing instruction
-    r"|/(?P<close>[a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*(?:>|$)"
+    r"|/\s*(?P<close>[a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*(?:>|$)"
     r"|(?P<open>[a-zA-Z][a-zA-Z0-9:_.-]*)(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>])*?)(?P<selfclose>/?)(?:>|$)"
     r")",
     re.DOTALL,
 )
 
-# class/id attributes are the only ones the tokenizer consumes
+# class/id attributes are the only ones the tokenizer consumes. The
+# lookbehind rejects hyphen/word prefixes so data-class / item-id and the
+# like are NOT misread as class/id (html.parser reports them verbatim and
+# the tokenizer ignores them).
 _CLASSID_RE = re.compile(
-    r"""\b(class|id)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""",
+    r"""(?<![\w-])(class|id)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""",
     re.IGNORECASE,
 )
 
@@ -45,12 +56,15 @@ _CLASSID_RE = re.compile(
 # lockstep so the differential test holds.
 _CDATA_TAGS = ("script", "style")
 _CDATA_CLOSE = {
-    t: re.compile(rf"</{t}(?:\s[^>]*)?>", re.IGNORECASE) for t in _CDATA_TAGS
+    t: re.compile(rf"</\s*{t}(?:\s[^>]*)?>", re.IGNORECASE) for t in _CDATA_TAGS
 }
 
 
 def _attrs_of(attr_str: str) -> list[tuple[str, str]]:
-    if not attr_str or ("class" not in attr_str and "id" not in attr_str):
+    if not attr_str:
+        return []
+    low = attr_str.lower()  # CLASS=/ID= must hit the fast-path guard too
+    if "class" not in low and "id" not in low:
         return []
     out = []
     for m in _CLASSID_RE.finditer(attr_str):
@@ -86,8 +100,15 @@ def scan(html_text: str, handler) -> None:
         open_tag = m.group("open")
         if open_tag is not None:
             tag = open_tag.lower()
-            attrs = _attrs_of(m.group("attrs") or "")
-            if m.group("selfclose"):
+            attr_str = m.group("attrs") or ""
+            attrs = _attrs_of(attr_str)
+            # a trailing '/' only self-closes when it is not the tail of an
+            # unquoted attribute value (html.parser/HTML5: <div class=foo/>
+            # is an OPEN tag whose class is "foo/")
+            selfclose = m.group("selfclose") and (
+                not attr_str or attr_str[-1] in " \t\n\r\"'"
+            )
+            if selfclose:
                 handler.handle_startendtag(tag, attrs)
             else:
                 handler.handle_starttag(tag, attrs)

@@ -78,34 +78,48 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     return pix.reshape(height, width)
 
 
+def _pool_bands(img: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM column-band means; images narrower than FEATURE_DIM are
+    edge-padded first so no band is empty (empty-band mean is NaN, which
+    would poison downstream similarity math)."""
+    if img.shape[1] < FEATURE_DIM:
+        img = np.pad(
+            img, ((0, 0), (0, FEATURE_DIM - img.shape[1])), mode="edge"
+        )
+    bands = np.array_split(img, FEATURE_DIM, axis=1)
+    return np.array([b.mean() for b in bands], dtype=np.float32)
+
+
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         ids, kinds, sizes, crcs, feats = [], [], [], [], []
         for mid, kind, payload, meta in zip(
             pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
         ):
+            if payload is None or meta is None:
+                continue  # failed fetch: no feature row, never a task crash
             payload = bytes(payload)
             w = int(meta["width"] or 16)
             h = int(meta["height"] or 16)
             img = decode_image(payload, w, h)
             # 16-dim pooled feature: column-band means (a fixed pooling —
             # the place a real embedding model plugs in)
-            bands = np.array_split(img, FEATURE_DIM, axis=1)
-            feat = np.array([b.mean() for b in bands], dtype=np.float32)
+            feat = _pool_bands(img)
             ids.append(int(mid))
             kinds.append(kind)
             sizes.append(len(payload))
             crcs.append(zlib.crc32(payload))
             feats.append(feat.tolist())
-        yield pd.DataFrame(
-            {
-                "media_id": ids,
-                "kind": kinds,
-                "payload_bytes": sizes,
-                "payload_crc": crcs,
-                "feature": feats,
-            }
-        )
+        if ids:  # empty frames with array columns break Arrow conversion
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "payload_bytes": sizes,
+                    "payload_crc": crcs,
+                    "feature": feats,
+                }
+            )
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -142,6 +156,8 @@ def resize_images(
             for mid, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
+                if payload is None or meta is None:
+                    continue
                 w = int(meta["width"] or 16)
                 h = int(meta["height"] or 16)
                 img = decode_image(bytes(payload), w, h)
@@ -193,6 +209,8 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
             for mid, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
+                if payload is None or meta is None:
+                    continue
                 n_frames = int(meta["n_frames"] or 1)
                 payload = bytes(payload)
                 for f in range(0, n_frames, every_n):
@@ -200,8 +218,7 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                         payload + f.to_bytes(4, "big")
                     ).digest()
                     img = decode_image(frame_bytes, 16, 16)
-                    bands = np.array_split(img, FEATURE_DIM, axis=1)
-                    feat = np.array([b.mean() for b in bands], dtype=np.float32)
+                    feat = _pool_bands(img)
                     ids.append(int(mid))
                     fnos.append(f)
                     crcs.append(zlib.crc32(frame_bytes))

@@ -16,6 +16,7 @@ predicate does.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -68,20 +69,27 @@ def sessionize(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
 def _session_func(key, pdfs: Iterator[pd.DataFrame], state):
     """applyInPandasWithState kernel: per-user open-session accumulator."""
     (user_id,) = key
+    gap_us = GAP_SECONDS * 1_000_000
+
+    def _row(s_no, n, start, last, val):
+        return dict(
+            user_id=user_id, session_no=s_no, n_events=n,
+            session_start=pd.Timestamp(start, unit="us"),
+            session_end=pd.Timestamp(last, unit="us"),
+            # HALF_UP via Decimal — Python round() is banker's, which would
+            # diverge from the batch path's F.round on .5 boundaries
+            sum_value=float(
+                Decimal(repr(val)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+
     if state.hasTimedOut:
         if state.exists:
             s_no, n, start, last, val = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_no": [s_no],
-                    "n_events": [n],
-                    "session_start": [pd.Timestamp(start, unit="us")],
-                    "session_end": [pd.Timestamp(last, unit="us")],
-                    "sum_value": [round(val, 4)],
-                }
-            )
+            yield pd.DataFrame([_row(s_no, n, start, last, val)])
         return
     rows: list[dict] = []
     if state.exists:
@@ -91,15 +99,23 @@ def _session_func(key, pdfs: Iterator[pd.DataFrame], state):
     events = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     for ts, value in zip(events["ts"], events["value"]):
         ts_us = int(ts.value // 1000)  # ns → µs
-        if last is not None and ts_us - last > GAP_SECONDS * 1_000_000:
-            rows.append(
-                dict(
-                    user_id=user_id, session_no=s_no, n_events=n,
-                    session_start=pd.Timestamp(start, unit="us"),
-                    session_end=pd.Timestamp(last, unit="us"),
-                    sum_value=round(val, 4),
-                )
-            )
+        if last is not None and ts_us < last:
+            # late event from a later micro-batch (within the watermark).
+            # Within gap of the open session's window → merge (extend the
+            # start backwards if needed); further in the past → emit it as
+            # its own past session and renumber the open session after it.
+            # Exact within one AvailableNow batch (events arrive sorted);
+            # approximate numbering only under cross-batch lateness.
+            if ts_us >= start - gap_us:
+                start = min(start, ts_us)
+                n += 1
+                val += float(value)
+            else:
+                rows.append(_row(s_no, 1, ts_us, ts_us, float(value)))
+                s_no += 1
+            continue
+        if last is not None and ts_us - last > gap_us:
+            rows.append(_row(s_no, n, start, last, val))
             s_no, n, start, val = s_no + 1, 0, None, 0.0
         if start is None:
             start = ts_us

@@ -32,6 +32,15 @@ def _with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _cosine() -> "F.Column":
+    """cos(_qv, _cv) with a zero-norm guard: a zero vector has NULL
+    similarity (ranked last) instead of aborting the job — Spark 4's
+    default ANSI mode raises DIVIDE_BY_ZERO on a bare division."""
+    return F.expr(_DOT.format(a="_qv", b="_cv")) / F.expr(
+        "nullif(_qn * _cn, 0.0)"
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -53,11 +62,8 @@ def cosine_topk(
     paired = cand.crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = F.expr(_DOT.format(a="_qv", b="_cv")) / (
-        F.col("_qn") * F.col("_cn")
-    )
     scored = paired.select(
-        "query_id", "vec_id", F.round(cos, 6).alias("cos")
+        "query_id", "vec_id", F.round(_cosine(), 6).alias("cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -125,10 +131,9 @@ def lsh_topk(
     paired = cand.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = F.expr(_DOT.format(a="_qv", b="_cv")) / (F.col("_qn") * F.col("_cn"))
-    scored = paired.select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
+    scored = paired.select("query_id", "vec_id", F.round(_cosine(), 6).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
 
@@ -165,11 +170,9 @@ def kmeans_fit(
             .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
             .collect()
         )
-        new = cents.copy()
-        counts = np.zeros(len(cents))
+        new = cents.copy()  # empty clusters keep their previous centroid
         for r in sums:
             new[r.cluster, r.pos] = r.s / r.n
-            counts[r.cluster] = r.n
         cents = new
     return cents
 
@@ -258,8 +261,7 @@ def ivf_topk(
     paired = cand.join(F.broadcast(probed), "cluster").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = F.expr(_DOT.format(a="_qv", b="_cv")) / (F.col("_qn") * F.col("_cn"))
-    scored = paired.select("query_id", "vec_id", F.round(cos, 6).alias("cos"))
+    scored = paired.select("query_id", "vec_id", F.round(_cosine(), 6).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

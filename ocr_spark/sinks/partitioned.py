@@ -109,9 +109,18 @@ def extract_and_write(
         r.crawl_date
         for r in keyed_input.select("crawl_date").distinct().collect()
     )
-    todo = (
-        pending_dates(spark, keyed_input, out_dir) if resume else all_dates
-    )
+    if resume:
+        # resume = input dates ANTI manifest dates; the input was already
+        # scanned once above, so only the (tiny) manifest is read here
+        manifest = read_manifest(spark, out_dir)
+        committed = (
+            {r.crawl_date for r in manifest.select("crawl_date").collect()}
+            if manifest is not None
+            else set()
+        )
+        todo = [d for d in all_dates if d not in committed]
+    else:
+        todo = all_dates
     skipped = [d for d in all_dates if d not in set(todo)]
 
     for d in todo:
@@ -129,13 +138,28 @@ def extract_and_write(
             ["crawl_date", "host_bucket"],
             mode="overwrite_partitions",
         )
-        # lineage + manifest commit AFTER the data write returns
-        out_keyed = spark.read.parquet(f"{out_dir}/data").filter(
-            F.col("crawl_date") == F.lit(d)
-        )
-        lineage_metrics(out_keyed).withColumn(
-            "committed_at", F.current_timestamp()
-        ).write.mode("append").parquet(f"{out_dir}/_lineage")
+        # lineage + manifest commit AFTER the data write returns. Lineage
+        # is dynamic-overwritten BY DATE (not appended): a crash between
+        # the lineage and manifest writes re-runs the date on restart, and
+        # the rewrite replaces that date's lineage rows instead of
+        # duplicating them — audits stay exactly-once.
+        try:
+            out_keyed = spark.read.parquet(f"{out_dir}/data").filter(
+                F.col("crawl_date") == F.lit(d)
+            )
+            write_table(
+                lineage_metrics(out_keyed).withColumn(
+                    "committed_at", F.current_timestamp()
+                ),
+                f"{out_dir}/_lineage",
+                ["crawl_date"],
+                mode="overwrite_partitions",
+            )
+        except Exception:
+            # a zero-row date writes no data directory at all; there is
+            # nothing to audit — the manifest commit below still records
+            # the date as done so resume will not spin on it
+            pass
         spark.createDataFrame([(d,)], "crawl_date date").withColumn(
             "committed_at", F.current_timestamp()
         ).write.mode("append").parquet(f"{out_dir}/_manifest")

@@ -26,6 +26,11 @@ CASES = [
     "<br><hr><img src=x><p>void elements precede this content paragraph</p>",
     "<body><p>self closing <span/> inline marker and the text continues</p></body>",
     "a < b but > c <p>math-ish bare angle brackets around the real text</p>",
+    "<body><script>var a=1;</ script><p>whitespace in the close tag works</p></body>",
+    '<div data-class="sidebar"><p>data-class is NOT class; stays positive content</p></div>',
+    "<div ID='nav'><p>uppercase ID attribute is recognized as negative here</p></div>",
+    "<div class=foo/>trailing slash inside unquoted attr is not self-close</div>",
+    "<p>a</p></ p><p>whitespace after the closing slash parses the same</p>",
 ]
 
 
