@@ -33,7 +33,7 @@ def main() -> None:
             "extract_html,extract_full,dom_nodes,extract_pdf,ocr_roundtrip,"
             "dedup_exact,dedup_minhash,dedup_lsh,text_quality,text_langid,"
             "sim_topk,rel_pricing_summary,rel_nation_revenue,events_windowed,"
-            "events_sessions,union_branches"
+            "events_sessions,union_branches,sim_ivf,text_repetition,media_features"
         ),
     )
     ap.add_argument("--reps", type=int, default=2)

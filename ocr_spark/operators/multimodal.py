@@ -238,6 +238,73 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     ).mapInPandas(fn, schema=FRAMES_SCHEMA)
 
 
+def decode_audio(payload: bytes, sample_rate: int, n_samples: int) -> np.ndarray:
+    """STUB audio codec: deterministic fake waveform in [-1, 1] from the
+    payload bytes (sha256-seeded), ``n_samples`` long. The real seam swaps
+    this for e.g. soundfile/librosa decode; signature and the float32
+    1-D contract are what downstream operators rely on."""
+    digest = hashlib.sha256(payload + b"#audio").digest()
+    seed = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+    reps = int(np.ceil(n_samples / len(seed)))
+    wave = np.tile(seed, reps)[:n_samples]
+    return (wave / 127.5) - 1.0
+
+
+AUDIO_WINDOWS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_no", T.IntegerType()),
+        T.StructField("start_sample", T.LongType()),
+        T.StructField("rms", T.FloatType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def sample_audio_windows(
+    media: DataFrame, window_samples: int = 512, hop: int = 256
+) -> DataFrame:
+    """Windowed audio features for audio rows: one output row per analysis
+    window (RMS energy + zero-crossing count — the classic VAD features).
+
+    Same scale discipline as frame sampling: the waveform/payload never
+    leaves the stage; the (much taller) window table carries only scalars.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wnos, starts, rmss, zcs = [], [], [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                if payload is None or meta is None:
+                    continue
+                sr = int(meta["sample_rate"] or 16000)
+                n_samples = sr  # one fake second of audio
+                wave = decode_audio(bytes(payload), sr, n_samples)
+                for w, s0 in enumerate(range(0, n_samples - window_samples + 1, hop)):
+                    win = wave[s0 : s0 + window_samples]
+                    ids.append(int(mid))
+                    wnos.append(w)
+                    starts.append(s0)
+                    rmss.append(float(np.sqrt(np.mean(win * win))))
+                    zcs.append(int((np.diff(np.sign(win)) != 0).sum()))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "window_no": wnos,
+                        "start_sample": starts,
+                        "rms": rmss,
+                        "zero_crossings": zcs,
+                    }
+                )
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload", "meta"
+    ).mapInPandas(fn, schema=AUDIO_WINDOWS_SCHEMA)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = seeded bytes)."""
     rows = []

@@ -68,8 +68,19 @@ def sessionize(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
 
 def _session_func(key, pdfs: Iterator[pd.DataFrame], state):
     """applyInPandasWithState kernel: per-user open-session accumulator."""
+    return _session_func_gap(GAP_SECONDS)(key, pdfs, state)
+
+
+def _session_func_gap(gap_seconds: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state):
+        yield from _session_events(key, pdfs, state, gap_seconds)
+
+    return fn
+
+
+def _session_events(key, pdfs: Iterator[pd.DataFrame], state, gap_seconds: int):
     (user_id,) = key
-    gap_us = GAP_SECONDS * 1_000_000
+    gap_us = gap_seconds * 1_000_000
 
     def _row(s_no, n, start, last, val):
         return dict(
@@ -123,7 +134,7 @@ def _session_func(key, pdfs: Iterator[pd.DataFrame], state):
         n += 1
         val += float(value)
     state.update((s_no, n, start, last, val))
-    state.setTimeoutTimestamp(last // 1000 + GAP_SECONDS * 1000)  # ms
+    state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)  # ms
     if rows:
         yield pd.DataFrame(rows)
 
@@ -134,6 +145,7 @@ def sessionize_stream(
     out_dir: str,
     checkpoint_dir: str,
     watermark: str = "1 hour",
+    gap_seconds: int = GAP_SECONDS,
 ):
     """Streaming sessionization with per-user state and event-time timeout."""
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -155,7 +167,7 @@ def sessionize_stream(
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_func,
+            _session_func_gap(gap_seconds),
             outputStructType=SESSION_SCHEMA,
             stateStructType=state_schema,
             outputMode="append",
