@@ -278,7 +278,9 @@ def tokenize_html(html_bytes: bytes | str, fast: bool = True) -> list[dict]:
     implementation for the differential test.
     """
     if isinstance(html_bytes, (bytes, bytearray)):
-        html_text = bytes(html_bytes).decode("utf-8", errors="replace")
+        from ocr_spark.kernels.charset import decode_html
+
+        html_text = decode_html(html_bytes)
     else:
         html_text = html_bytes
     tok = _Tokenizer()
