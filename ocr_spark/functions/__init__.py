@@ -6,3 +6,4 @@ from ocr_spark.functions.text import (  # noqa: F401
     url_host_bucket,
     whitespace_tokens,
 )
+from ocr_spark.functions.url import canonical_url, dedup_by_url  # noqa: F401

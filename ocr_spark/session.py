@@ -50,6 +50,8 @@ def get_spark(
         # --- broadcast joins for dimension tables
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # static conf: warehouse for bucketed saveAsTable (co-located joins)
+        .config("spark.sql.warehouse.dir", "/tmp/ocr_spark_warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
