@@ -21,40 +21,49 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# param-name boundary: the lookbehind pins the match to a parameter START
+# (right after ? or &) so 'href=' / 'xutm_a=' can never be misread as
+# tracking params
 _TRACKING = r"(?:utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*"
 
 
 def canonical_url(col: str | Column = "url") -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    # 1. unify scheme (case-insensitive) to https
-    c = F.regexp_replace(c, r"(?i)^https?://", "https://")
-    # 2. lowercase the host portion only; strip default ports
+    raw = F.col(col) if isinstance(col, str) else col
+    # only http(s) URLs are canonicalized; other schemes (dns:, ftp:,
+    # mailto: — all present in real WARC Target-URIs) pass through verbatim
+    c = F.regexp_replace(raw, r"(?i)^https?://", "https://")
+    # lowercase the host portion only; strip default ports
     host = F.lower(F.regexp_extract(c, r"^https://([^/?#]+)", 1))
     host = F.regexp_replace(host, r":(?:80|443)$", "")
     rest = F.regexp_replace(c, r"^https://[^/?#]+", "")
     c = F.concat(F.lit("https://"), host, rest)
-    # 3. drop fragment
+    # drop fragment
     c = F.regexp_replace(c, r"#.*$", "")
-    # 4. drop tracking params, separator-aware: first any param followed by
-    # '&' (its own leading ?/& stays to serve the next param), then a
-    # trailing param together with its leading separator
-    c = F.regexp_replace(c, _TRACKING + r"&", "")
+    # drop tracking params: non-trailing ones keep their leading separator
+    # for the next param (lookbehind, not consumed — handles runs), then a
+    # trailing one goes together with its separator
+    c = F.regexp_replace(c, r"(?<=[?&])" + _TRACKING + r"&", "")
     c = F.regexp_replace(c, r"[?&]" + _TRACKING + r"$", "")
     c = F.regexp_replace(c, r"\?$", "")
-    # 5. strip trailing slash (not the root's)
+    # strip trailing slash (not the root's)
     c = F.regexp_replace(c, r"(https://[^/]+/.+?)/$", "$1")
-    return c
+    return F.when(raw.rlike(r"(?i)^https?://"), c).otherwise(raw)
 
 
 def dedup_by_url(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """URL-tier dedup: one row per canonical url (first by raw url order —
-    deterministic). Shuffles only (canonical hash, url)."""
+    deterministic). The window shuffles the surviving rows once on the
+    canonical key."""
     from pyspark.sql import Window
 
-    keyed = pages.withColumn("_curl", canonical_url(url_col))
-    w = Window.partitionBy("_curl").orderBy(F.col(url_col))
+    curl, rn = "__ocr_curl__", "__ocr_rn__"
+    while curl in pages.columns or rn in pages.columns:
+        curl += "_"
+        rn += "_"
+    keyed = pages.withColumn(curl, canonical_url(url_col))
+    w = Window.partitionBy(curl).orderBy(F.col(url_col))
     return (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_curl")
+        keyed.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn, curl)
     )

@@ -21,12 +21,18 @@ from __future__ import annotations
 import codecs
 import re
 
+# charset attribute inside a meta tag; the lookbehind requires a real
+# attribute/parameter boundary (space, ';' of a content-type value, or a
+# quote) so '...?charset=big5...' inside an og:url value cannot match
 _META_RE = re.compile(
-    rb"""<meta[^>]+?charset\s*=\s*["']?\s*([a-zA-Z0-9_][a-zA-Z0-9_.:-]*)""",
+    rb"""<meta[^>]+?(?<=[\s;"'])charset\s*=\s*["']?\s*([a-zA-Z0-9_][a-zA-Z0-9_.:-]*)""",
     re.IGNORECASE,
 )
+_COMMENT_RE = re.compile(rb"<!--.*?(?:-->|$)", re.DOTALL)
 
-# label → python codec, WHATWG-style normalizations for the common web set
+# label → python codec, WHATWG-style normalizations for the common web set.
+# utf-16 labels map to utf-8 per spec: a meta tag the byte-wise prescan
+# could read proves the document is NOT utf-16 (common authoring error).
 _ALIASES = {
     "iso-8859-1": "windows-1252",  # WHATWG maps latin-1 to cp1252
     "latin-1": "windows-1252",
@@ -37,6 +43,10 @@ _ALIASES = {
     "gbk": "gb18030",
     "shift-jis": "shift_jis",
     "sjis": "shift_jis",
+    "utf-16": "utf-8",
+    "utf16": "utf-8",
+    "utf-16le": "utf-8",
+    "utf-16be": "utf-8",
 }
 
 
@@ -48,7 +58,8 @@ def sniff_charset(html_bytes: bytes) -> str:
         return "utf-16-le"
     if html_bytes.startswith(codecs.BOM_UTF16_BE):
         return "utf-16-be"
-    m = _META_RE.search(html_bytes[:1024])
+    # the WHATWG prescan skips comments: a commented-out meta must not win
+    m = _META_RE.search(_COMMENT_RE.sub(b"", html_bytes[:1024]))
     if m:
         label = m.group(1).decode("ascii", "ignore").strip().lower()
         codec = _ALIASES.get(label, label)

@@ -30,25 +30,72 @@ from ocr_spark.sources.pages import PAGES_SCHEMA
 
 
 def _split_gzip_members(data: bytes) -> Iterator[bytes]:
-    """Decompress concatenated gzip members one at a time."""
+    """Decompress concatenated gzip members one at a time. A corrupt
+    member is skipped by scanning for the next gzip magic — one damaged
+    record must not lose the rest of a 1 GB archive."""
     pos = 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=31)
-        chunk = d.decompress(data[pos:])
-        yield chunk
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
-            return
-        pos += consumed
-
-
-def parse_warc(data: bytes, is_gzip: bool) -> list[dict]:
-    """WARC bytes → list of {url, warc_ts, html} response records."""
-    if is_gzip:
+    n = len(data)
+    while pos < n:
         try:
-            data = b"".join(_split_gzip_members(data))
+            d = zlib.decompressobj(wbits=31)
+            chunk = d.decompress(data[pos:])
+            consumed = n - pos - len(d.unused_data)
+            if consumed <= 0 or not d.eof:
+                raise ValueError("truncated member")
+            yield chunk
+            pos += consumed
         except Exception:
-            return []
+            nxt = data.find(b"\x1f\x8b\x08", pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoded body."""
+    out = []
+    pos = 0
+    while True:
+        line_end = body.find(b"\r\n", pos)
+        if line_end < 0:
+            break
+        size_token = body[pos:line_end].split(b";")[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        out.append(body[line_end + 2 : line_end + 2 + size])
+        pos = line_end + 2 + size + 2  # skip chunk data + CRLF
+    return b"".join(out) if out else body
+
+
+def _decode_http_payload(body: bytes) -> bytes:
+    """Strip the HTTP header block; undo chunked framing and
+    Content-Encoding gzip/deflate (raw payload returned on any failure)."""
+    http_end = body.find(b"\r\n\r\n")
+    if http_end < 0:
+        return body
+    head = body[:http_end].lower()
+    payload = body[http_end + 4 :]
+    try:
+        if b"transfer-encoding:" in head and b"chunked" in head:
+            payload = _dechunk(payload)
+        if b"content-encoding:" in head:
+            if b"gzip" in head:
+                payload = gzip.decompress(payload)
+            elif b"deflate" in head:
+                try:
+                    payload = zlib.decompress(payload)
+                except zlib.error:
+                    payload = zlib.decompress(payload, -15)  # raw deflate
+    except Exception:
+        pass  # keep what we have; extraction is garbage-tolerant
+    return payload
+
+
+def _parse_records(data: bytes) -> list[dict]:
     out: list[dict] = []
     pos = 0
     n = len(data)
@@ -62,8 +109,9 @@ def parse_warc(data: bytes, is_gzip: bool) -> list[dict]:
         headers: dict[str, str] = {}
         for line in data[head_start:head_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode("latin-1")] = (
-                v.strip().decode("latin-1")
+            # WARC 1.1 header values are UTF-8 (IRIs in Target-URI)
+            headers[k.strip().lower().decode("utf-8", "replace")] = (
+                v.strip().decode("utf-8", "replace")
             )
         try:
             length = int(headers.get("content-length", "0"))
@@ -76,11 +124,25 @@ def parse_warc(data: bytes, is_gzip: bool) -> list[dict]:
             continue
         url = headers.get("warc-target-uri", "")
         ts = headers.get("warc-date", "")
-        # payload is an HTTP response: strip its header block
-        http_end = body.find(b"\r\n\r\n")
-        html = body[http_end + 4 :] if http_end >= 0 else body
         if url:
-            out.append({"url": url, "warc_ts": ts, "html": html})
+            out.append(
+                {"url": url, "warc_ts": ts, "html": _decode_http_payload(body)}
+            )
+    return out
+
+
+def parse_warc(data: bytes, is_gzip: bool) -> list[dict]:
+    """WARC bytes → list of {url, warc_ts, html} response records.
+
+    Gzip archives are parsed PER MEMBER (never materialized whole): the
+    Common Crawl layout is one record per member, so peak memory is one
+    record, and a corrupt member loses only itself.
+    """
+    if not is_gzip:
+        return _parse_records(data)
+    out: list[dict] = []
+    for member in _split_gzip_members(data):
+        out.extend(_parse_records(member))
     return out
 
 

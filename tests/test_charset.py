@@ -69,3 +69,29 @@ def test_undecodable_bytes_never_raise():
     doc = b'<meta charset="utf-8"><body><p>broken \xff\xfe\xfa bytes inside the text</p></body>'
     text, _, _ = extract_main_text(doc)
     assert "broken" in text and "bytes inside" in text
+
+
+def test_meta_utf16_label_maps_to_utf8():
+    # WHATWG: a readable meta proves the doc is not utf-16
+    doc = b'<meta charset="utf-16"><body><p>Hello world stays readable text here</p></body>'
+    assert sniff_charset(doc) == "utf-8"
+    text, _, _ = extract_main_text(doc)
+    assert "Hello world" in text
+
+
+def test_commented_out_meta_is_ignored():
+    doc = (
+        b'<!-- <meta charset="shift_jis"> --><meta charset="utf-8">'
+        b"<body><p>caf\xc3\xa9 real declaration wins over the commented one</p></body>"
+    )
+    assert sniff_charset(doc) == "utf-8"
+    text, _, _ = extract_main_text(doc)
+    assert "café" in text
+
+
+def test_charset_inside_attr_value_is_ignored():
+    doc = (
+        b'<meta property="og:url" content="https://x.com/?charset=big5">'
+        b"<body><p>no declaration here so utf-8 fallback applies fine</p></body>"
+    )
+    assert sniff_charset(doc) == "utf-8"

@@ -70,3 +70,23 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS t_left")
         spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_canonical_url_boundary_and_scheme_cases(spark):
+    cases = [
+        # href= / xutm_ must NOT be treated as tracking params
+        ("https://x.com/?href=abc&b=1", "https://x.com/?href=abc&b=1"),
+        ("https://x.com/?xutm_a=1&b=2", "https://x.com/?xutm_a=1&b=2"),
+        # runs of tracking params
+        ("https://x.com/?utm_a=1&utm_b=2&id=3", "https://x.com/?id=3"),
+        ("https://x.com/?utm_a=1&utm_b=2", "https://x.com/"),  # root slash kept
+        # non-http schemes pass through verbatim
+        ("dns:example.com", "dns:example.com"),
+        ("ftp://example.com/x", "ftp://example.com/x"),
+        ("mailto:me@example.com", "mailto:me@example.com"),
+    ]
+    from ocr_spark.functions.url import canonical_url
+
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [e for _, e in cases]

@@ -78,3 +78,97 @@ def test_warc_skips_non_response_and_garbage(spark, tmp_path):
         parsed = parse_warc(f.read(), False)
     assert len(parsed) == 5
     assert all(p["url"].startswith("https://") for p in parsed)
+
+
+def test_warc_truncation_fuzz():
+    """Every byte-truncation of a valid archive parses a prefix of its
+    records without crashing (truncated WARC segments are routine)."""
+    recs = _records(6)
+    import io
+
+    from ocr_spark.sources.warc import write_warc
+
+    import tempfile, os
+    with tempfile.NamedTemporaryFile(suffix=".warc", delete=False) as f:
+        path = f.name
+    write_warc(path, recs)
+    data = open(path, "rb").read()
+    os.unlink(path)
+    full = parse_warc(data, False)
+    urls = [r["url"] for r in full]
+    for cut in range(0, len(data), 97):
+        part = parse_warc(data[:cut], False)
+        assert [r["url"] for r in part] == urls[: len(part)]
+        assert len(part) <= len(full)
+
+
+def test_warc_gzip_corruption_returns_empty():
+    assert parse_warc(b"\x1f\x8b" + b"\x00" * 64, True) == []
+    assert parse_warc(b"not gzip at all", True) == []
+
+
+def test_gzip_one_corrupt_member_loses_only_itself():
+    import gzip as _gz
+
+    recs = _records(4)
+    members = []
+    for i, r in enumerate(recs):
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + r["html"]
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {r['url']}\r\n".encode()
+            + f"WARC-Date: {r['warc_ts']}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n\r\n".encode()
+            + http
+            + b"\r\n\r\n"
+        )
+        m = _gz.compress(rec)
+        if i == 1:  # corrupt the second member's deflate stream
+            m = m[:20] + b"\x00\x00\x00\x00" + m[24:]
+        members.append(m)
+    parsed = parse_warc(b"".join(members), True)
+    got = {p["url"] for p in parsed}
+    assert recs[0]["url"] in got and recs[2]["url"] in got and recs[3]["url"] in got
+    assert len(parsed) == 3
+
+
+def test_http_chunked_and_gzip_payloads():
+    import gzip as _gz
+
+    html = b"<body><p>the content of a chunked gzip page with enough words</p></body>"
+    # chunked framing
+    chunked = (
+        hex(len(html[:20]))[2:].encode() + b"\r\n" + html[:20] + b"\r\n"
+        + hex(len(html[20:]))[2:].encode() + b"\r\n" + html[20:] + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    body_c = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + chunked
+    body_g = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + _gz.compress(html)
+    )
+    recs = []
+    for i, body in enumerate((body_c, body_g)):
+        recs.append(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: https://t/{i}\r\n".encode()
+            + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+            + b"\r\n\r\n"
+        )
+    parsed = parse_warc(b"".join(recs), False)
+    assert len(parsed) == 2
+    assert parsed[0]["html"] == html and parsed[1]["html"] == html
+
+
+def test_utf8_iri_target_uri_roundtrip(tmp_path):
+    from ocr_spark.sources.warc import write_warc
+
+    url = "https://example.com/café/中文"
+    path = str(tmp_path / "iri.warc")
+    write_warc(
+        path,
+        [{"url": url, "warc_ts": "2024-01-01T00:00:00Z", "html": b"<p>x words here ok</p>"}],
+    )
+    parsed = parse_warc(open(path, "rb").read(), False)
+    assert parsed[0]["url"] == url
