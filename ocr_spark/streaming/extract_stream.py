@@ -59,6 +59,48 @@ def stream_extract(
     return writer.start()
 
 
+def stream_dedup_extract(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+) -> StreamingQuery:
+    """Incremental extraction with streaming URL dedup.
+
+    ``dropDuplicatesWithinWatermark`` on the canonical url: re-crawls of a
+    page arriving within the watermark window are emitted once; state is
+    bounded by the watermark (the crawl-frequency knob — at Common Crawl
+    cadence a 24h window spans a segment's re-fetches). Dedup runs BEFORE
+    extraction so duplicate pages never cost Python kernel time.
+    """
+    from ocr_spark.functions.url import canonical_url
+    from ocr_spark.operators.extract_html import extract_pages
+    from ocr_spark.sinks.partitioned import with_partition_keys
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    deduped = (
+        pages.withColumn("_curl", canonical_url("url"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["_curl"])
+        .drop("_curl")
+    )
+    extracted = with_partition_keys(extract_pages(deduped)).drop("salt")
+    return (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("crawl_date", "host_bucket")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_event_counts(
     spark: SparkSession,
     input_dir: str,

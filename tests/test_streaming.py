@@ -68,3 +68,24 @@ def test_stream_event_counts_matches_batch(spark, tmp_path):
         batch, ["window_start", "event_type", "n_events", "sum_value"]
     )
     assert exact.count() == got.count()
+
+
+def test_stream_dedup_extract(spark, tmp_path):
+    """Re-crawled duplicate urls within the watermark are extracted once."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.streaming.extract_stream import stream_dedup_extract
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = pages_from_documents(spark, SF_DIR).limit(60)
+    # duplicate every page under a tracking-param url variant
+    dup = pages.withColumn("url", F.concat("url", F.lit("?utm_source=feed")))
+    pages.unionByName(dup).write.parquet(inp)
+
+    q = stream_dedup_extract(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == 60  # one row per canonical url, not 120
+    assert got.select("url").distinct().count() == 60
