@@ -140,6 +140,23 @@ def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_full(pages)
 
 
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-span contract: spans tile the extracted text exactly (the
+    north-star offset guarantee), checked corpus-wide via SQL-visible
+    aggregates: per url, span count and total covered chars."""
+    from ocr_spark.operators.extract_html import extract_pages
+    from ocr_spark.sources.pages import pages_from_documents
+
+    out = extract_pages(pages_from_documents(spark, sf_dir, n_paragraphs=1))
+    return out.select(
+        "url",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.expr(
+            "aggregate(spans, 0L, (acc, s) -> acc + (s.end - s.start))"
+        ).alias("covered_chars"),
+    )
+
+
 def q_extract_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host document counts off the flagship output (skew surface)."""
     out = q_extract_html(spark, sf_dir)
@@ -530,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html": q_extract_html,
         "extract_html_multi": q_extract_html_multi,
         "extract_full": q_extract_full,
+        "extract_spans": q_extract_spans,
         "extract_hosts": q_extract_hosts,
         "dom_nodes": q_dom_nodes,
         "extract_pdf": q_extract_pdf,
@@ -582,6 +600,11 @@ def oracle_sql() -> dict[str, str]:
                                   1, 20)
                         || chr(10) || chr(10)
                         || 'line' || CAST(doc_id AS VARCHAR) AS extracted_text
+            FROM documents
+        """,
+        "extract_spans": f"""
+            SELECT {_URL_SQL} AS url, CAST(1 AS BIGINT) AS n_spans,
+                   CAST(n_chars AS BIGINT) AS covered_chars
             FROM documents
         """,
         "extract_hosts": f"""
