@@ -67,6 +67,23 @@ def lineage_metrics(keyed: DataFrame) -> DataFrame:
     )
 
 
+def verify_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Audit: recompute per-partition metrics from the data and anti-match
+    them against the stored lineage. Returns the discrepancy rows
+    (empty DataFrame = table verified) — the operational check run after
+    any resume/backfill, and the integrity half of checkpoint recovery.
+    """
+    data = spark.read.parquet(f"{out_dir}/data")
+    stored = spark.read.parquet(f"{out_dir}/_lineage").select(
+        "crawl_date", "host_bucket", "n_rows", "n_bytes", "checksum"
+    )
+    recomputed = lineage_metrics(data)
+    cols = ["crawl_date", "host_bucket", "n_rows", "n_bytes", "checksum"]
+    return stored.select(cols).exceptAll(recomputed.select(cols)).unionByName(
+        recomputed.select(cols).exceptAll(stored.select(cols))
+    )
+
+
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     try:
         return spark.read.parquet(f"{out_dir}/_manifest")

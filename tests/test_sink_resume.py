@@ -107,3 +107,19 @@ def test_lineage_matches_data(spark, pages, tmp_path):
     ).collect()[0]
     assert (a.r, a.b, a.c) == (b.r, b.b, b.c)
     assert a.r == pages.count()
+
+
+def test_verify_lineage_clean_and_detects_tamper(spark, pages, tmp_path):
+    from ocr_spark.sinks.partitioned import verify_lineage
+
+    out = str(tmp_path / "out")
+    extract_and_write(spark, pages, out)
+    assert verify_lineage(spark, out).count() == 0
+
+    # tamper: delete one data partition directory → audit must flag it
+    import glob as _glob
+    import shutil
+
+    victim = _glob.glob(f"{out}/data/crawl_date=*/host_bucket=*")[0]
+    shutil.rmtree(victim)
+    assert verify_lineage(spark, out).count() >= 1
