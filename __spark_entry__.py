@@ -506,6 +506,56 @@ def q_rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregates (median / p95 price per return flag)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.min("l_extendedprice"), 4).alias("lo"),
+        F.round(F.max("l_extendedprice"), 4).alias("hi"),
+    )
+
+
+def q_rel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates: stddev + correlation per flag."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "qty_disc_covar"
+        ),
+    )
+
+
+def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between consecutive docs within a source —
+    the string-similarity scalar surface. Pairs are (doc, next doc within
+    the same source by id) — a bounded self-join."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    a, b = docs.alias("a"), docs.alias("b")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    nxt = docs.select(
+        "source",
+        F.col("doc_id").alias("doc_id_a"),
+        F.lead("doc_id").over(w).alias("doc_id_b"),
+    ).filter(F.col("doc_id_b").isNotNull())
+    joined = (
+        nxt.join(a, nxt.doc_id_a == a.doc_id)
+        .join(b, nxt.doc_id_b == F.col("b.doc_id"))
+    )
+    return joined.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.levenshtein(
+            F.substring(F.col("a.text"), 1, 60), F.substring(F.col("b.text"), 1, 60)
+        ).cast("long").alias("edit_distance"),
+    )
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (window lag + running sum + groupBy)."""
     from ocr_spark.operators.sessions import sessionize
@@ -574,6 +624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_orders": q_rel_top_orders,
         "rel_nation_revenue": q_rel_nation_revenue,
         "rel_rollup": q_rel_rollup,
+        "rel_percentiles": q_rel_percentiles,
+        "rel_stats": q_rel_stats,
+        "text_edit_distance": q_text_edit_distance,
         "rel_anti_join": q_rel_anti_join,
         "rel_distinct": q_rel_distinct,
         "events_windowed": q_events_windowed,
@@ -862,6 +915,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "rel_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+                   round(min(l_extendedprice), 4) AS lo,
+                   round(max(l_extendedprice), 4) AS hi
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "rel_stats": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                   round(corr(l_quantity, l_extendedprice), 6)
+                       AS qty_price_corr,
+                   round(covar_samp(l_quantity, l_discount), 6)
+                       AS qty_disc_covar
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "text_edit_distance": """
+            WITH n AS (
+              SELECT source, doc_id AS doc_id_a,
+                     lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                         AS doc_id_b
+              FROM documents
+            )
+            SELECT n.doc_id_a, n.doc_id_b,
+                   CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60))
+                        AS BIGINT) AS edit_distance
+            FROM n
+            JOIN documents a ON n.doc_id_a = a.doc_id
+            JOIN documents b ON n.doc_id_b = b.doc_id
+            WHERE n.doc_id_b IS NOT NULL
         """,
         "rel_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
