@@ -573,6 +573,32 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: per-user hourly marks → latest event value at or
+    before each mark (the leakage-free feature-store join)."""
+    from ocr_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    marks = (
+        events.select(
+            "user_id",
+            (F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")).alias(
+                "mark"
+            ),
+        )
+        .distinct()
+    )
+    joined = asof_join(
+        marks, events, key="user_id", left_ts="mark", right_ts="ts",
+        value_cols=["value"],
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("mark", "yyyy-MM-dd HH:mm:ss").alias("mark"),
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
@@ -631,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_distinct": q_rel_distinct,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
     }
 
 
@@ -971,6 +998,19 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY ALL
+        """,
+        "events_asof": """
+            WITH marks AS (
+              SELECT DISTINCT user_id,
+                     date_trunc('hour', ts) + INTERVAL 1 HOUR AS mark
+              FROM events
+            )
+            SELECT m.user_id,
+                   strftime(m.mark, '%Y-%m-%d %H:%M:%S') AS mark,
+                   round(e.value, 6) AS asof_value
+            FROM marks m
+            ASOF LEFT JOIN events e
+              ON m.user_id = e.user_id AND m.mark >= e.ts
         """,
         "events_sessions": """
             WITH g AS (
