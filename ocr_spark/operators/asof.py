@@ -2,12 +2,23 @@
 before its timestamp, per key.
 
 Spark has no native ASOF JOIN; the scalable spelling is the union-window
-trick: tag both sides, union on (key, ts), and carry the right side's
-values forward with ``last(..., ignorenulls=True)`` over an unbounded
+trick: tag both sides, union on (key, ts), and carry the latest right ROW
+forward with ``last(snapshot_struct, ignorenulls=True)`` over an unbounded
 preceding window — one shuffle on the key, no range self-join blowup, and
 AQE-safe. This is the standard feature-store / point-in-time-correctness
 join for training-data assembly (label at time t joined to the latest
 feature snapshot ≤ t, never a future one — leakage-free by construction).
+
+Semantics pinned to ASOF JOIN proper (and verified against DuckDB's
+native implementation by the ``events_asof`` oracle):
+
+* the whole matched right row is carried as ONE struct — NULL fields in
+  the latest snapshot stay NULL (a per-column carry would stitch values
+  from different rows and resurrect stale non-NULLs);
+* right rows with NULL timestamps can never match (filtered up front —
+  Spark's nulls-first sort would otherwise leak them into every frame);
+* ties among right rows at identical (key, ts) break deterministically on
+  the value columns.
 
 Cost model: sort within key partitions of |L|+|R| rows — same order as the
 window sessionization; skew bounded by the hottest key, cap upstream.
@@ -27,47 +38,57 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
 ) -> DataFrame:
-    """Left rows + the latest right ``value_cols`` at-or-before left_ts.
-
-    Right rows with no subsequent left row contribute nothing; left rows
-    with no prior right row get NULL values (standard ASOF semantics).
+    """Left rows + the latest right ``value_cols`` at-or-before left_ts
+    (as ``asof_<col>``). Left rows with no prior right row get NULLs; a
+    right row exactly simultaneous with a left row IS visible to it.
     """
-    lt = left.withColumn("_ts", F.col(left_ts).cast("timestamp")).withColumn(
-        "_side", F.lit(1)
+    # collision-safe internal names
+    ts_c, side_c, snap_c = "__asof_ts__", "__asof_side__", "__asof_snap__"
+    while any(
+        n in left.columns or n in right.columns
+        for n in (ts_c, side_c, snap_c)
+    ):
+        ts_c += "_"
+        side_c += "_"
+        snap_c += "_"
+
+    rt = right.filter(F.col(right_ts).isNotNull()).select(
+        F.col(key),
+        F.col(right_ts).cast("timestamp").alias(ts_c),
+        F.lit(0).alias(side_c),
+        F.struct(*[F.col(c) for c in value_cols]).alias(snap_c),
     )
-    rt = (
-        right.select(
-            key,
-            F.col(right_ts).cast("timestamp").alias("_ts"),
-            *[F.col(c).alias(f"_v_{c}") for c in value_cols],
-        )
-        .withColumn("_side", F.lit(0))
+    snap_type = rt.schema[snap_c].dataType
+    lt = left.select(
+        "*",
+        F.col(left_ts).cast("timestamp").alias(ts_c),
+        F.lit(1).alias(side_c),
+        F.lit(None).cast(snap_type).alias(snap_c),
     )
-    # union with aligned schemas: left carries NULL feature slots
-    for c in value_cols:
-        lt = lt.withColumn(f"_v_{c}", F.lit(None).cast(rt.schema[f"_v_{c}"].dataType))
-    rt_full = rt
-    for f in lt.schema.fields:
-        if f.name not in set(rt.columns):
-            rt_full = rt_full.withColumn(f.name, F.lit(None).cast(f.dataType))
-    both = lt.unionByName(rt_full.select(*lt.columns))
-    # right rows sort BEFORE left rows at identical timestamps (_side 0<1),
-    # so an exactly-simultaneous snapshot is visible to the left row
+    rt_aligned = rt.select(
+        *[
+            F.col(f.name)
+            if f.name in (key, ts_c, side_c, snap_c)
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in lt.schema.fields
+        ]
+    )
+    both = lt.unionByName(rt_aligned)
+    # right rows sort BEFORE left rows at identical timestamps (side 0<1)
+    # so an exactly-simultaneous snapshot is visible; ties among right
+    # rows break deterministically on the snapshot fields
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_side")
+        .orderBy(
+            ts_c, side_c, *[F.col(snap_c)[c] for c in value_cols]
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = both.select(
-        "*",
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+    carried = both.withColumn(
+        snap_c, F.last(snap_c, ignorenulls=True).over(w)
     )
-    out = carried.filter(F.col("_side") == 1)
-    keep = [c for c in left.columns]
+    out = carried.filter(F.col(side_c) == 1)
     return out.select(
-        *keep,
-        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        *left.columns,
+        *[F.col(snap_c)[c].alias(f"asof_{c}") for c in value_cols],
     )
