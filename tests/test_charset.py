@@ -95,3 +95,19 @@ def test_charset_inside_attr_value_is_ignored():
         b"<body><p>no declaration here so utf-8 fallback applies fine</p></body>"
     )
     assert sniff_charset(doc) == "utf-8"
+
+
+def test_charset_fuzz_never_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def run(blob):
+        codec = sniff_charset(blob)
+        assert isinstance(codec, str)
+        text = decode_html(blob)
+        assert isinstance(text, str)
+        assert decode_html(blob) == text  # deterministic
+
+    run()
