@@ -179,6 +179,21 @@ def q_dom_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nodes_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-table analytics surface: per-tag corpus profile (rows-only —
+    chrome-node counts derive from crc32-keyed synthesis, not SQL)."""
+    from ocr_spark.operators.nodes import tokenize_to_nodes
+    from ocr_spark.sources.pages import pages_from_documents
+
+    nodes = tokenize_to_nodes(pages_from_documents(spark, sf_dir))
+    return nodes.groupBy("tag").agg(
+        F.count("*").alias("n_nodes"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.avg(F.col("negative").cast("double")), 6).alias("neg_rate"),
+        F.sum("text_len").alias("total_chars"),
+    )
+
+
 def q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF branch: per-doc deterministic layout → XY-cut + NMS → text."""
     import pandas as pd
@@ -626,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "extract_hosts": q_extract_hosts,
         "dom_nodes": q_dom_nodes,
+        "nodes_profile": q_nodes_profile,
         "extract_pdf": q_extract_pdf,
         "ocr_roundtrip": q_ocr_roundtrip,
         "media_features": q_media_features,
