@@ -571,10 +571,19 @@ def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pin_utc(spark: SparkSession) -> None:
+    """Timestamp-rendering queries format via the session timezone; the
+    driver's plain SparkSession inherits the JVM default, so a non-UTC host
+    would shift every rendered hour/mark string away from the DuckDB
+    oracle's naive-UTC reading of the same parquet micros. Pin UTC."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (window lag + running sum + groupBy)."""
     from ocr_spark.operators.sessions import sessionize
 
+    _pin_utc(spark)
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     s = sessionize(events)
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -593,6 +602,7 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     before each mark (the leakage-free feature-store join)."""
     from ocr_spark.operators.asof import asof_join
 
+    _pin_utc(spark)
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     marks = (
         events.select(
@@ -615,6 +625,7 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_utc(spark)
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
     return events.groupBy(hour.alias("hour"), "event_type").agg(
@@ -727,7 +738,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": """
             SELECT doc_id AS media_id, 'image' AS kind,
-                   CAST(n_chars AS BIGINT) AS payload_bytes
+                   CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
             FROM documents
         """,
         "dedup_exact": """
@@ -809,14 +820,20 @@ def oracle_sql() -> dict[str, str]:
                  len(list_filter({_DWORDS},
                      x -> x IN ('der','die','das','und','ist','ein','zu'))) AS c_de,
                  len(list_filter({_DWORDS},
-                     x -> x IN ('le','la','les','et','est','un','une'))) AS c_fr
+                     x -> x IN ('le','la','les','et','est','un','une'))) AS c_fr,
+                 len(list_filter({_DWORDS},
+                     x -> x IN ('el','los','las','de','que','y','con'))) AS c_es,
+                 CAST(len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]'))
+                      AS BIGINT) AS c_zh
               FROM documents
             )
             SELECT doc_id, lang,
-                   CASE WHEN c_de > c_en AND c_de > c_fr THEN 'de'
-                        WHEN c_fr > c_en AND c_fr >= c_de THEN 'fr'
+                   CASE WHEN c_zh > 0 THEN 'zh'
+                        WHEN c_de > c_en AND c_de > c_fr AND c_de > c_es THEN 'de'
+                        WHEN c_fr > c_en AND c_fr >= c_de AND c_fr > c_es THEN 'fr'
+                        WHEN c_es > c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
                         ELSE 'en' END AS predicted_lang,
-                   c_en, c_de, c_fr
+                   c_en, c_de, c_fr, c_es, c_zh
             FROM t
         """,
         "text_fingerprint": """

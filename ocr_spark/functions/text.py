@@ -17,17 +17,28 @@ from ocr_spark.config import HOST_HASH_BUCKETS, HOT_HOST_SALT
 
 def whitespace_tokens(col: str | Column = "text") -> Column:
     """Whitespace-token array, empty strings dropped — the single token
-    definition shared by textstats, dedup, and the DuckDB oracles."""
-    name = col if isinstance(col, str) else None
-    expr = name or "text"
-    return F.expr(f"filter(split({expr}, '\\\\s+'), x -> x != '')")
+    definition shared by textstats, dedup, and the DuckDB oracles.
+
+    Accepts a column name or any ``Column`` expression; the Column form is
+    built from ``F.split``/``F.filter`` directly (same semantics as the SQL
+    string used by the name form).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
 
 
 def ngram_shingles(n: int = 3, col: str = "text") -> Column:
-    """Distinct word n-gram set of a text column (MinHash/Jaccard input)."""
+    """Distinct word n-gram set of a text column (MinHash/Jaccard input).
+
+    ``col`` must be a column NAME (the expression is assembled as a SQL
+    string shared with the DuckDB oracles); a ``Column`` argument raises
+    rather than silently reading the wrong column.
+    """
     from ocr_spark.operators.dedup import shingles
 
-    return F.expr(shingles(n))
+    if not isinstance(col, str):
+        raise TypeError("ngram_shingles requires a column name, not a Column")
+    return F.expr(shingles(n, col=col))
 
 
 def quality_expr(col: str = "text") -> Column:

@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_WORDS = "filter(split(text, '\\\\s+'), x -> x != '')"
+_WORDS_T = "filter(split({col}, '\\\\s+'), x -> x != '')"
+_WORDS = _WORDS_T.format(col="text")
 
 # hot-bucket cap for LSH banding: a bucket of m docs yields m(m-1)/2 pairs;
 # buckets beyond this are dropped (the reference's max_box_num rationale).
@@ -39,8 +40,8 @@ _WORDS = "filter(split(text, '\\\\s+'), x -> x != '')"
 MAX_LSH_BUCKET = 1024
 
 
-def shingles(n: int = 3) -> str:
-    """SQL expression producing the distinct word n-gram set of ``text``.
+def shingles(n: int = 3, col: str = "text") -> str:
+    """SQL expression producing the distinct word n-gram set of ``col``.
 
     Built once as a string so the DataFrame side and test oracles share one
     definition. ``slice`` is 1-based. Guarded with an explicit empty-array
@@ -48,10 +49,11 @@ def shingles(n: int = 3) -> str:
     [1, 0], not an empty array, so the naive form fabricates shingles for
     short documents.
     """
+    words = _WORDS_T.format(col=col)
     return (
-        f"case when size({_WORDS}) < {n} then array() "
-        f"else array_distinct(transform(sequence(1, size({_WORDS}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({_WORDS}, i, {n})))) end"
+        f"case when size({words}) < {n} then array() "
+        f"else array_distinct(transform(sequence(1, size({words}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({words}, i, {n})))) end"
     )
 
 
@@ -133,9 +135,15 @@ def lsh_candidate_pairs(
     # the bands relation feeds three consumers (size census + both join
     # sides); without a persist each would re-tokenize and re-hash the
     # whole corpus. Slim rows (id, band, 16-byte bucket) — safe to cache.
-    # The candidate-pair result (≪ corpus) is materialized eagerly so the
-    # bands cache can be released before returning — no cache leak across
-    # repeated invocations.
+    # The candidate-pair result (≪ corpus) is materialized eagerly via an
+    # eager localCheckpoint so (a) the bands cache can be released before
+    # returning and (b) the returned DataFrame holds no persist the caller
+    # must remember to release — checkpoint blocks are reclaimed by the
+    # ContextCleaner when the result is garbage-collected, so repeated
+    # invocations do not leak storage. (Trade-off, documented: a
+    # localCheckpoint is not resilient to executor loss; at cluster scale a
+    # caller running inside a multi-hour job should write the pairs to a
+    # table instead — they are the natural checkpoint artifact.)
     bands = bands.persist()
     try:
         sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("m"))
@@ -153,10 +161,8 @@ def lsh_candidate_pairs(
                 F.col("b.doc_id").alias("doc_id_b"),
             )
             .distinct()
-            .persist()
         )
-        pairs.count()  # materialize while bands is cached
-        return pairs
+        return pairs.localCheckpoint(eager=True)
     finally:
         bands.unpersist()
 

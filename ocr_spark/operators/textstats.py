@@ -28,6 +28,10 @@ _WORDS_EXPR = "filter(split({col}, '\\\\s+'), x -> x != '')"
 STOPWORDS_EN = ("the", "a", "and", "of", "in", "to", "is")
 STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "zu")
 STOPWORDS_FR = ("le", "la", "les", "et", "est", "un", "une")
+STOPWORDS_ES = ("el", "los", "las", "de", "que", "y", "con")
+# CJK unified-ideograph char-range vote (zh detection is char-based, not
+# stopword-based — Chinese has no whitespace tokens to vote with).
+CJK_RANGE_RE = r"[\x{4e00}-\x{9fff}]"
 
 
 def words(col: str = "text") -> Column:
@@ -97,26 +101,48 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-vote language identification (en/de/fr heuristic).
+    """Stopword/char-range language identification (en/de/fr/es/zh).
 
-    Per doc: count stopword hits per language, argmax with a deterministic
-    tie-break (de > fr > en priority only on strict wins; ties fall to en).
-    Returns (doc_id, lang, predicted_lang, c_en, c_de, c_fr).
+    Per doc: count stopword hits per Latin language plus CJK chars for
+    Chinese, then a deterministic cascade: any CJK presence wins (Chinese
+    has no whitespace stopwords to vote with); otherwise strict-win
+    priority de > fr > es, ties falling to en. All counts are JVM-side
+    column expressions. Returns (doc_id, lang, predicted_lang, c_en, c_de,
+    c_fr, c_es, c_zh).
     """
     w = words()
     c_en = _count_in(w, STOPWORDS_EN).alias("c_en")
     c_de = _count_in(w, STOPWORDS_DE).alias("c_de")
     c_fr = _count_in(w, STOPWORDS_FR).alias("c_fr")
-    out = docs.select("doc_id", "lang", c_en, c_de, c_fr)
+    c_es = _count_in(w, STOPWORDS_ES).alias("c_es")
+    c_zh = (
+        F.regexp_count(F.col("text"), F.lit(CJK_RANGE_RE)).cast("long").alias("c_zh")
+    )
+    out = docs.select("doc_id", "lang", c_en, c_de, c_fr, c_es, c_zh)
     predicted = (
-        F.when(
-            (F.col("c_de") > F.col("c_en")) & (F.col("c_de") > F.col("c_fr")), "de"
+        F.when(F.col("c_zh") > 0, "zh")
+        .when(
+            (F.col("c_de") > F.col("c_en"))
+            & (F.col("c_de") > F.col("c_fr"))
+            & (F.col("c_de") > F.col("c_es")),
+            "de",
         )
-        .when((F.col("c_fr") > F.col("c_en")) & (F.col("c_fr") >= F.col("c_de")), "fr")
+        .when(
+            (F.col("c_fr") > F.col("c_en"))
+            & (F.col("c_fr") >= F.col("c_de"))
+            & (F.col("c_fr") > F.col("c_es")),
+            "fr",
+        )
+        .when(
+            (F.col("c_es") > F.col("c_en"))
+            & (F.col("c_es") >= F.col("c_de"))
+            & (F.col("c_es") >= F.col("c_fr")),
+            "es",
+        )
         .otherwise("en")
     )
     return out.withColumn("predicted_lang", predicted).select(
-        "doc_id", "lang", "predicted_lang", "c_en", "c_de", "c_fr"
+        "doc_id", "lang", "predicted_lang", "c_en", "c_de", "c_fr", "c_es", "c_zh"
     )
 
 

@@ -104,6 +104,13 @@ def pending_dates(
     return sorted(r.crawl_date for r in dates.collect())
 
 
+def _partition_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check (works on local FS and any cluster FS)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def extract_and_write(
     spark: SparkSession,
     pages: DataFrame,
@@ -159,8 +166,12 @@ def extract_and_write(
         # is dynamic-overwritten BY DATE (not appended): a crash between
         # the lineage and manifest writes re-runs the date on restart, and
         # the rewrite replaces that date's lineage rows instead of
-        # duplicating them — audits stay exactly-once.
-        try:
+        # duplicating them — audits stay exactly-once. A zero-row date
+        # writes no data directory at all (nothing to audit), detected
+        # EXPLICITLY via the filesystem — any other lineage-write failure
+        # (disk full, permissions, schema) must propagate, or the date
+        # would be committed with its audit trail silently missing.
+        if _partition_exists(spark, f"{out_dir}/data/crawl_date={d}"):
             out_keyed = spark.read.parquet(f"{out_dir}/data").filter(
                 F.col("crawl_date") == F.lit(d)
             )
@@ -172,11 +183,6 @@ def extract_and_write(
                 ["crawl_date"],
                 mode="overwrite_partitions",
             )
-        except Exception:
-            # a zero-row date writes no data directory at all; there is
-            # nothing to audit — the manifest commit below still records
-            # the date as done so resume will not spin on it
-            pass
         spark.createDataFrame([(d,)], "crawl_date date").withColumn(
             "committed_at", F.current_timestamp()
         ).write.mode("append").parquet(f"{out_dir}/_manifest")
