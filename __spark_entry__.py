@@ -180,8 +180,11 @@ def q_dom_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_nodes_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Node-table analytics surface: per-tag corpus profile (rows-only —
-    chrome-node counts derive from crc32-keyed synthesis, not SQL)."""
+    """Node-table analytics surface: per-tag corpus profile over the
+    flattened DOM-node table. Hard-oracled: every chrome-node count and
+    text length is a closed form of the md5-derived ``url_key`` (see
+    ``_nodes_profile_oracle_sql``), so the DuckDB twin reproduces the full
+    per-tag rollup from the raw documents table."""
     from ocr_spark.operators.nodes import tokenize_to_nodes
     from ocr_spark.sources.pages import pages_from_documents
 
@@ -375,13 +378,32 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic distributed k-means coarse quantizer +
-    probed exact rank (rows-only: the iterative fit has no SQL twin)."""
-    from ocr_spark.operators.similarity import ivf_topk, kmeans_fit
+    """IVF ANN (deterministic distributed k-means coarse quantizer + probed
+    rank), hard-gated against the exact top-k computed in the same job: one
+    row (n_queries, n_exact, recall_ok) where recall_ok asserts corpus
+    recall >= 0.8 (measured 1.00 at sf0.001, 0.92 at sf0.01 with k=16,
+    n_probe=8). The iterative fit has no SQL twin, so the oracle checks the
+    exact-side counts exactly and the recall bound as an invariant — a
+    broken quantizer or probe join drives recall below the bound and flips
+    the hash."""
+    from ocr_spark.operators.similarity import cosine_topk, ivf_topk, kmeans_fit
 
     emb = _emb(spark, sf_dir)
+    queries = _queries_df(spark, sf_dir)
     cents = kmeans_fit(emb, k=16, iters=4)
-    return ivf_topk(emb, _queries_df(spark, sf_dir), cents, k=5, n_probe=8)
+    ivf = ivf_topk(emb, queries, cents, k=5, n_probe=8).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    joined = exact.join(ivf, ["query_id", "vec_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0)))
+            >= F.lit(0.8) * F.count("*")
+        ).alias("recall_ok"),
+    )
 
 
 def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,10 +421,24 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib compression-ratio gate (rows-only: no SQL zlib)."""
+    """zlib compression-ratio gate, hard-checked per document: n_bytes is
+    exact-matched against the oracle's byte length, and two codec
+    invariants are asserted per doc — the ratio lies in zlib's possible
+    band (0.2, 1.3) for word text of this length, and doubling the text
+    strictly improves the ratio (the dictionary captures the repeat). A
+    broken codec path (wrong encoding, truncated payload, swapped columns)
+    flips one of the booleans or the byte count. The raw ratio itself has
+    no SQL twin (no zlib in ANSI SQL), so it is asserted via invariants
+    rather than value-matched."""
     from ocr_spark.operators.textstats import compression_ratio
 
-    return compression_ratio(_docs(spark, sf_dir))
+    r = compression_ratio(_docs(spark, sf_dir))
+    return r.select(
+        "doc_id",
+        "n_bytes",
+        ((F.col("ratio") > 0.2) & (F.col("ratio") < 1.3)).alias("ratio_in_band"),
+        (F.col("ratio_2x") < F.col("ratio")).alias("doubling_gains"),
+    )
 
 
 def q_text_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,6 +1102,173 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM n GROUP BY user_id, session_no
         """,
-        # dedup_simhash, sim_lsh: xxhash64-based — not expressible in the
-        # DuckDB oracle dialect; driver records rows-only checks.
+        "dedup_simhash": _simhash_oracle_sql(),
+        "sim_lsh": _sim_lsh_oracle_sql(),
+        "nodes_profile": _nodes_profile_oracle_sql(),
+        "text_compression": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   TRUE AS ratio_in_band,
+                   TRUE AS doubling_gains
+            FROM documents
+        """,
+        "sim_ivf": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+            p AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(q.v, e.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+              FROM e, q WHERE e.vec_id != q.query_id
+            ),
+            topk AS (
+              SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                FROM p
+              ) WHERE rank <= 5
+            )
+            SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+                   count(*) AS n_exact,
+                   TRUE AS recall_ok
+            FROM topk
+        """,
     }
+
+
+def _sim_lsh_oracle_sql() -> str:
+    """DuckDB twin of ``operators.similarity.lsh_topk`` at the contract
+    parameters (dim=64, k=5, n_planes=6, seed=42): the hyperplane matrix is
+    the same md5-derived literal table both engines inline
+    (``hyperplane_components``), so bucket codes, candidate sets, cosines,
+    and ranks must agree exactly."""
+    from ocr_spark.operators.similarity import hyperplane_components
+
+    planes = hyperplane_components(dim=64, n_planes=6, seed=42)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(repr(c) for c in comps)}])"
+        f" > 0 THEN {1 << p} ELSE 0 END"
+        for p, comps in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v, bucket FROM b WHERE vec_id < 5),
+        p AS (
+          SELECT q.query_id, b.vec_id,
+                 round(list_dot_product(q.v, b.v)
+                       / nullif(sqrt(list_dot_product(q.v, q.v))
+                                * sqrt(list_dot_product(b.v, b.v)), 0.0), 6)
+                     AS cos
+          FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.query_id
+        )
+        SELECT query_id, vec_id, cos, rank FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM p
+        ) WHERE rank <= 5
+    """
+
+
+def _nodes_profile_oracle_sql() -> str:
+    """DuckDB twin of the per-tag node profile: reproduces the node table
+    the HTML tokenizer emits for every synthetic page as a closed form of
+    ``k = url_key(url)`` (first 8 md5 hex digits of the url). Per page the
+    chrome contributes: one h1 (masthead title), three divs
+    (cta/cookie/share — constant text), 5+k%7 nav <li> + two copies of
+    4+k%4 sidebar <li>, one h3 (sidebar title), one h4, and a footer <p>;
+    the content <p> carries the document text (score saturates at
+    text_len/20). Literal word/title length tables are imported from
+    ``ocr_spark.kernels.synth`` so this SQL and the page generator share
+    one source of truth."""
+    from ocr_spark.kernels.synth import _NAV_WORDS, _SIDEBAR_TITLES
+
+    k = f"CAST('0x' || substr(md5({_URL_SQL}), 1, 8) AS BIGINT)"
+    nav_lens = ", ".join(str(len(w)) for w in _NAV_WORDS)
+    side_lens = ", ".join(str(len(t)) for t in _SIDEBAR_TITLES)
+    # constant chrome text lengths (measured from the literal templates):
+    # cta div 34, cookie div 60, share div 45; h4 17; footer p 56 + digits
+    # of k%11; h1 13 + digits of k%13; sidebar li 28 + digits of k%97.
+    return f"""
+        WITH d AS (
+          SELECT doc_id, n_chars, {k} AS k FROM documents
+        ),
+        per_doc AS (
+          SELECT doc_id, n_chars, k,
+                 5 + k % 7 AS n_nav,
+                 4 + k % 4 AS n_side,
+                 length(CAST(k % 13 AS VARCHAR)) AS d13,
+                 length(CAST(k % 97 AS VARCHAR)) AS d97,
+                 length(CAST(k % 11 AS VARCHAR)) AS d11,
+                 list_sum(list_transform(range(5 + k % 7),
+                     i -> [{nav_lens}][CAST((k + i) % 12 AS INTEGER) + 1]))
+                     AS nav_chars,
+                 [{side_lens}][CAST(k % 5 AS INTEGER) + 1] AS side_title_len
+          FROM d
+        ),
+        tags AS (
+          SELECT 'h1' AS tag, count(*) AS n_nodes, 0.0 AS sum_score,
+                 count(*) AS n_neg, sum(13 + d13) AS total_chars
+          FROM per_doc
+          UNION ALL
+          SELECT 'div', 3 * count(*), 0.0, 3 * count(*),
+                 (34 + 60 + 45) * count(*)
+          FROM per_doc
+          UNION ALL
+          SELECT 'li', sum(n_nav + 2 * n_side), 0.0, sum(n_nav + 2 * n_side),
+                 sum(nav_chars + 2 * n_side * (28 + d97))
+          FROM per_doc
+          UNION ALL
+          SELECT 'h3', count(*), 0.0, count(*), sum(side_title_len)
+          FROM per_doc
+          UNION ALL
+          SELECT 'h4', count(*), 0.0, count(*), 17 * count(*)
+          FROM per_doc
+          UNION ALL
+          SELECT 'p', 2 * count(*),
+                 sum(least(n_chars / 20.0, 1.0)), count(*),
+                 sum(n_chars) + sum(56 + d11)
+          FROM per_doc
+        )
+        SELECT tag, CAST(n_nodes AS BIGINT) AS n_nodes,
+               round(sum_score / n_nodes, 6) AS avg_score,
+               round(CAST(n_neg AS DOUBLE) / n_nodes, 6) AS neg_rate,
+               CAST(total_chars AS BIGINT) AS total_chars
+        FROM tags
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of ``operators.dedup.simhash64``: md5-derived bit family
+    (high bit of each of the 64 hex digits of md5(t)||md5(t||'#')), ±1
+    votes weighted by token frequency, bits packed into two 32-bit halves.
+    ``coalesce(..., 0)`` mirrors Spark's aggregate-with-0-init on empty
+    token lists (DuckDB ``list_sum([])`` is NULL)."""
+    hi_hex = "('8','9','a','b','c','d','e','f')"
+    votes = ", ".join(
+        f"coalesce(list_sum(list_transform(th, h -> CASE WHEN "
+        f"substr(h, {b + 1}, 1) IN {hi_hex} THEN 1 ELSE -1 END)), 0) AS v{b}"
+        for b in range(64)
+    )
+
+    def pack(lo_bit: int) -> str:
+        return " + ".join(
+            f"CASE WHEN v{lo_bit + i} > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(32)
+        )
+
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform({_DWORDS}, x -> md5(x) || md5(x || '#')) AS th
+          FROM documents
+        ),
+        v AS (SELECT doc_id, {votes} FROM t)
+        SELECT doc_id,
+               CAST({pack(32)} AS BIGINT) AS simhash_hi,
+               CAST({pack(0)} AS BIGINT) AS simhash_lo
+        FROM v
+    """

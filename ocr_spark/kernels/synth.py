@@ -5,14 +5,16 @@ The reference trains/tests on externally-shipped golden arrays
 are *generated*: known main content is wrapped in deterministic boilerplate
 chrome (nav/header/aside/footer/share, link-heavy) and the extraction
 pipeline must recover the content byte-identically. All variation is keyed
-on ``crc32(url)`` — no RNG state, fully reproducible (unlike the reference's
-RNG-in-geometry trap, ``/root/reference/DataPreprocess/DataGen.py:319-333``).
+on an md5-derived ``url_key`` — no RNG state, fully reproducible (unlike the
+reference's RNG-in-geometry trap,
+``/root/reference/DataPreprocess/DataGen.py:319-333``), and re-derivable in
+ANSI SQL so chrome-structure queries can carry hard oracles.
 """
 
 from __future__ import annotations
 
+import hashlib
 import html as _html
-import zlib
 
 _NAV_WORDS = [
     "Home", "Products", "Pricing", "Blog", "Careers", "Support",
@@ -34,8 +36,12 @@ HOT_HOST_PCT = 30  # percent
 
 
 def url_key(url: str) -> int:
-    """Stable non-salted hash of a url (crc32; NOT Python's salted hash)."""
-    return zlib.crc32(url.encode("utf-8"))
+    """Stable non-salted hash of a url: the first 8 hex digits of md5 as an
+    integer (NOT Python's salted ``hash``). md5 rather than crc32 so every
+    chrome-variation quantity keyed on it is re-derivable in ANSI SQL —
+    ``CAST('0x' || substr(md5(url), 1, 8) AS BIGINT)`` — which is what lets
+    the node-table profile query carry a hard DuckDB oracle."""
+    return int(hashlib.md5(url.encode("utf-8")).hexdigest()[:8], 16)
 
 
 def host_for_doc(doc_id: int) -> str:

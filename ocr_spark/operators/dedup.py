@@ -199,35 +199,54 @@ def ngram_jaccard_pairs(
     )
 
 
+# hex digits whose high bit is set — "is bit b of the token hash 1" reads
+# hex digit b of the md5-derived hash string and checks membership here.
+_HI_HEX = "'8','9','a','b','c','d','e','f'"
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per document from token xxhash64 values.
+    """64-bit SimHash per document from md5-derived token-hash bits.
 
-    Per token t: h = xxhash64(t). For each bit position b, vote +1 or −1 by
-    bit value (token frequency weights votes naturally, since every
-    occurrence votes). sig bit b = 1 iff the summed vote > 0. Expressed as
-    64 ``aggregate`` reductions over the hashed-token array — entirely
-    JVM-side expressions, one pass, no shuffle.
+    Per token t the 64 hash bits are the high bits of the 64 hex digits of
+    ``md5(t) || md5(t || '#')`` — a uniform bit family both Spark and any
+    ANSI/DuckDB oracle can compute (the same respelling-for-provability
+    move ``minhash_signatures`` makes; xxhash64 has no SQL twin). For each
+    bit b, vote +1/−1 by bit value (token frequency weights votes since
+    every occurrence votes); sig bit b = 1 iff the summed vote > 0.
+    Expressed as 64 ``aggregate`` reductions over the hashed-token array —
+    entirely JVM-side expressions, one pass, zero shuffle.
 
-    Near-duplicate query: ``bit_count(sig_a ^ sig_b) <= k``.
+    Returns (doc_id, simhash_hi, simhash_lo): bits 32..63 / 0..31 packed
+    into two non-negative 32-bit values (a single 64-bit pack would
+    overflow BIGINT at bit 63 under ANSI mode — in Spark AND in the
+    oracle). Near-duplicate query:
+    ``bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) <= k``.
     """
     toks = docs.select(
         "doc_id",
-        F.expr(f"transform({_WORDS}, x -> xxhash64(x))").alias("th"),
+        F.expr(f"transform({_WORDS}, x -> concat(md5(x), md5(concat(x, '#'))))").alias(
+            "th"
+        ),
     )
     bit_votes = [
         F.expr(
-            f"aggregate(th, 0L, (acc, h) -> acc + if(((h >> {b}) & 1) = 1, 1L, -1L))"
+            f"aggregate(th, 0L, (acc, h) -> "
+            f"acc + if(substr(h, {b + 1}, 1) in ({_HI_HEX}), 1L, -1L))"
         ).alias(f"v{b}")
         for b in range(64)
     ]
     voted = toks.select("doc_id", *bit_votes)
-    sig = voted.select(
+
+    def _pack(lo_bit: int) -> str:
+        return " + ".join(
+            f"if(v{lo_bit + i} > 0, {1 << i}L, 0L)" for i in range(32)
+        )
+
+    return voted.select(
         "doc_id",
-        F.expr(
-            "+".join(f"if(v{b} > 0, {'1' if b == 0 else f'shiftleft(1L, {b})'}, 0L)" for b in range(64))
-        ).alias("simhash"),
+        F.expr(_pack(32)).alias("simhash_hi"),
+        F.expr(_pack(0)).alias("simhash_lo"),
     )
-    return sig
 
 
 def simhash_near_pairs(
@@ -237,7 +256,9 @@ def simhash_near_pairs(
     sig = simhash64(docs).join(docs.select("doc_id", group_col), "doc_id")
     a, b = sig.alias("a"), sig.alias("b")
     joined = a.join(b, on=group_col).filter(F.col("a.doc_id") < F.col("b.doc_id"))
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(
+        F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi"))
+    ) + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
     return joined.select(
         F.col("a.doc_id").alias("doc_id_a"),
         F.col("b.doc_id").alias("doc_id_b"),

@@ -72,16 +72,35 @@ def cosine_topk(
     )
 
 
-def _hyperplanes_expr(dim: int, n_planes: int, seed: int, vec_col: str) -> str:
-    """SQL for the n-bit sign code of ``vec_col`` under deterministic
-    hyperplanes: plane p component j = xxhash64('p:j:seed') scaled to
-    [-1, 1]. Unrolled per plane; each plane is an ``aggregate`` dot."""
-    terms = []
-    for p in range(n_planes):
-        comps = ", ".join(
-            f"cast(xxhash64('{p}:{j}:{seed}') % 1000001 as double) / 1000000.0"
+def hyperplane_components(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic hyperplane matrix [n_planes][dim], derived from md5 so
+    it is reproducible across runs/executors with no RNG state AND exactly
+    re-derivable by an external oracle: component (p, j) = the first 4 hex
+    digits of ``md5("p:j:seed")`` scaled to [-1, 1). The values are inlined
+    as double literals on both sides (Spark plan and oracle SQL), so the
+    two engines evaluate identical IEEE arithmetic."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{j}:{seed}".encode()).hexdigest()[:4], 16)
+            / 32768.0
+            - 1.0
             for j in range(dim)
-        )
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _hyperplanes_expr(dim: int, n_planes: int, seed: int, vec_col: str) -> str:
+    """SQL for the n-bit sign code of ``vec_col`` under the deterministic
+    ``hyperplane_components`` matrix. Unrolled per plane; each plane is an
+    ``aggregate`` dot over inlined literal components (constant-folded by
+    Catalyst — no per-row hash evaluation)."""
+    planes = hyperplane_components(dim, n_planes, seed)
+    terms = []
+    for p, comps_v in enumerate(planes):
+        comps = ", ".join(repr(c) for c in comps_v)
         dot = (
             f"aggregate(zip_with({vec_col}, array({comps}), "
             "(x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, v) -> acc + v)"

@@ -185,7 +185,13 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
     """zlib compressed/raw byte ratio per document (low ratio = highly
     repetitive/templated text — the Gopher compression gate). The codec is
     per-batch Python (an iterator Arrow UDF; no JVM zlib expression
-    exists), everything else stays relational. (doc_id, n_bytes, ratio)."""
+    exists), everything else stays relational.
+
+    Returns (doc_id, n_bytes, ratio, ratio_2x) where ``ratio_2x`` is the
+    ratio of the text concatenated with itself — always strictly below
+    ``ratio`` (zlib's dictionary captures the repeat), which gives
+    SQL-blind oracles a checkable invariant of the codec.
+    """
     import zlib
     from collections.abc import Iterator
 
@@ -202,11 +208,17 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
                         round(len(zlib.compress(b, 6)) / max(len(b), 1), 6)
                         for b in raw
                     ],
+                    "ratio_2x": [
+                        round(
+                            len(zlib.compress(b + b, 6)) / max(2 * len(b), 1), 6
+                        )
+                        for b in raw
+                    ],
                 }
             )
 
     return docs.select("doc_id", "text").mapInPandas(
-        fn, schema="doc_id long, n_bytes long, ratio double"
+        fn, schema="doc_id long, n_bytes long, ratio double, ratio_2x double"
     )
 
 
