@@ -326,6 +326,18 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.05)
 
 
+def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage dedup pipeline: LSH banding candidates (recall stage) →
+    exact n-gram Jaccard verification of exactly those pairs (precision
+    stage) — the production path at corpus scale; the oracle reproduces
+    both stages in SQL."""
+    from ocr_spark.operators.dedup import lsh_candidate_pairs, verify_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs, n_bands=4, rows_per_band=2)
+    return verify_pairs(docs, pairs, min_jaccard=0.0)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.dedup import simhash64
 
@@ -695,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh": q_dedup_lsh,
+        "dedup_verified": q_dedup_verified,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_token_stats": q_text_token_stats,
@@ -804,6 +817,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
             FROM p a JOIN p c USING (band, bucket)
             WHERE a.doc_id < c.doc_id
+        """,
+        "dedup_verified": f"""
+            WITH w AS (SELECT doc_id, {_DSHINGLES} AS sh FROM documents),
+            s AS (SELECT doc_id, [{sig_list}] AS sig FROM w),
+            b AS (
+              SELECT doc_id, band,
+                     md5(concat_ws('|', sig[2*band+1], sig[2*band+2])) AS bucket
+              FROM s, (SELECT unnest(range(4)) AS band)
+            ),
+            ok AS (
+              SELECT band, bucket FROM b GROUP BY band, bucket
+              HAVING count(*) > 1 AND count(*) <= 1024
+            ),
+            p AS (SELECT b.* FROM b JOIN ok USING (band, bucket)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+              FROM p a JOIN p c USING (band, bucket)
+              WHERE a.doc_id < c.doc_id
+            )
+            SELECT doc_id_a, doc_id_b,
+                   round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                         / greatest(len(list_distinct(x.sh || y.sh)), 1), 6)
+                       AS jaccard
+            FROM cand
+            JOIN w x ON cand.doc_id_a = x.doc_id
+            JOIN w y ON cand.doc_id_b = y.doc_id
         """,
         "dedup_jaccard": f"""
             WITH s AS (SELECT source AS g, doc_id, {_DSHINGLES} AS sh FROM documents)

@@ -167,18 +167,50 @@ def lsh_candidate_pairs(
         bands.unpersist()
 
 
+def verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate-pair table — the scale
+    path: feed it ``lsh_candidate_pairs`` output and verification cost is
+    O(|candidates|) shingle joins, never any O(N²) sweep. The standard
+    two-stage web-dedup pipeline is therefore::
+
+        pairs = lsh_candidate_pairs(docs)          # recall stage, bucketed
+        dups  = verify_pairs(docs, pairs,          # precision stage, exact
+                             min_jaccard=0.7)
+        clean = keep_representatives(docs, dups)
+
+    Physical shape: two equi-joins of the slim pair table against the
+    shingle projection (doc_id, sh) — shuffle keys are doc ids, text
+    itself never moves. Returns (doc_id_a, doc_id_b, jaccard), 6 dp.
+    """
+    sh = docs.select("doc_id", F.expr(shingles(shingle_n)).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "doc_id_a").join(b, "doc_id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    return joined.select("doc_id_a", "doc_id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= F.lit(min_jaccard)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     group_col: str = "source",
     shingle_n: int = 3,
     min_jaccard: float = 0.05,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs within a blocking group.
-
-    The blocking column keeps the self-join from being global O(N²): only
-    same-group pairs are compared (at scale the group is an LSH bucket from
-    ``lsh_candidate_pairs``). Returns (doc_id_a, doc_id_b, jaccard) with
-    a < b and jaccard >= min_jaccard, rounded to 6 dp.
+    """Exact n-gram Jaccard similarity for pairs within a blocking group —
+    the small-corpus / test spelling. At corpus scale use ``verify_pairs``
+    over ``lsh_candidate_pairs`` output instead: an attribute blocking
+    column like ``source`` has bounded cardinality, so intra-group sweeps
+    grow O(n²/groups). Returns (doc_id_a, doc_id_b, jaccard) with a < b
+    and jaccard >= min_jaccard, rounded to 6 dp.
     """
     sh = docs.select(
         F.col(group_col).alias("g"), "doc_id", F.expr(shingles(shingle_n)).alias("sh")

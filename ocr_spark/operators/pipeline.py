@@ -4,20 +4,26 @@ per-document text.
 This is the engine's analog of the reference's complete flow
 (``/root/reference/test_img.py``): detect text regions (HTML blocks AND
 image-embedded lines), recognize the image lines in batches, and assemble
-everything in reading order. Dataflow:
+everything in reading order. Dataflow (ONE corpus scan, ONE shuffle):
 
-    pages ─┬─ mapInPandas html-extract ──────────────┐
-           └─ mapInPandas line-detect ─ mapInPandas  ├─ join(url) → concat
-                      (strips out)      conv+CTC ─ groupBy(url) agg ┘
+    pages → mapInPandas(decode once → html-extract + line-detect,
+                        tagged rows)                      [scan, map-side]
+          → mapInPandas(conv+CTC on line rows,
+                        html rows pass through)           [same pipeline]
+          → groupBy(url).agg(array_sort + array_join)     [the one shuffle]
 
-Scale shape: the two detection stages are map-side (zero shuffle, same
-scan); recognition batches across ALL pages' lines in Arrow batches (the
-RECOG_BATCH discipline, ``/root/reference/test_img.py:97-116``, but
-batched across documents instead of within one); the only shuffles are
-the groupBy(url) line assembly and the final url equi-join — both on slim
-columns, the html blob never crosses an exchange. Line assembly is
-JVM-side (``array_sort`` of (line_id, text) structs + ``array_join``), not
-Python.
+Scale shape: both detections run on the SAME decoded document in the same
+pass (charset-sniffed once via ``kernels.charset.decode_html``), so the
+corpus is scanned and parsed exactly once — the two-branch spelling costs
+a second full scan + decode, which at 10^12 documents is the difference
+that matters. Recognition batches across ALL pages' lines in Arrow
+batches (the RECOG_BATCH discipline,
+``/root/reference/test_img.py:97-116``, but batched across documents
+instead of within one). The only exchange is the groupBy(url) assembly,
+carrying slim (url, kind, line_id, text) rows — strips and the html blob
+never cross it. Assembly is JVM-side: ``array_sort`` of (kind, line_id,
+text) structs puts the html block before the lines ('html' < 'line') and
+lines in image order, then ``array_join`` — not Python.
 """
 
 from __future__ import annotations
@@ -50,31 +56,40 @@ _LINES_SCHEMA = (
 )
 
 
-def _detect_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _lines_of_doc(html_text: str):
+    """Yield (line_id, strip, width) for every embedded line of ONE decoded
+    document (malformed payloads are skipped, never crash a task)."""
     from ocr_spark.kernels.ocr import normalize_strip
+
+    for i, m in enumerate(_IMG_RE.finditer(html_text)):
+        width = int(m.group(1))
+        height = int(m.group(2)) if m.group(2) else LINE_HEIGHT
+        raw = np.frombuffer(
+            base64.b64decode(m.group(3)), dtype=np.uint8
+        ).astype(np.float32) / 255.0
+        if height == LINE_HEIGHT:
+            if raw.size != LINE_HEIGHT * MAX_LINE_WIDTH:
+                continue  # malformed payload: skip, never crash
+            strip = raw.reshape(LINE_HEIGHT, MAX_LINE_WIDTH)
+        else:
+            if raw.size % height != 0:
+                continue
+            tall = raw.reshape(height, raw.size // height)
+            # crop to true content width before resampling, as
+            # RoIRotate crops the box before the affine resample
+            tall = tall[:, :width]
+            strip, width = normalize_strip(tall)
+        yield i, strip, width
+
+
+def _detect_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_spark.kernels.charset import decode_html
 
     for pdf in batches:
         urls, ids, strips, widths = [], [], [], []
         for url, html in zip(pdf["url"], pdf["html"]):
-            text = bytes(html).decode("utf-8", errors="replace")
-            for i, m in enumerate(_IMG_RE.finditer(text)):
-                width = int(m.group(1))
-                height = int(m.group(2)) if m.group(2) else LINE_HEIGHT
-                raw = np.frombuffer(
-                    base64.b64decode(m.group(3)), dtype=np.uint8
-                ).astype(np.float32) / 255.0
-                if height == LINE_HEIGHT:
-                    if raw.size != LINE_HEIGHT * MAX_LINE_WIDTH:
-                        continue  # malformed payload: skip, never crash
-                    strip = raw.reshape(LINE_HEIGHT, MAX_LINE_WIDTH)
-                else:
-                    if raw.size % height != 0:
-                        continue
-                    tall = raw.reshape(height, raw.size // height)
-                    # crop to true content width before resampling, as
-                    # RoIRotate crops the box before the affine resample
-                    tall = tall[:, : width]
-                    strip, width = normalize_strip(tall)
+            text = decode_html(bytes(html))
+            for i, strip, width in _lines_of_doc(text):
                 urls.append(url)
                 ids.append(i)
                 strips.append(strip.ravel().tolist())
@@ -86,10 +101,92 @@ def _detect_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def detect_image_lines(pages: DataFrame) -> DataFrame:
-    """pages → (url, line_id, strip, width) for every embedded line."""
+    """pages → (url, line_id, strip, width) for every embedded line
+    (standalone detector; ``extract_full`` uses the fused single-scan
+    stage below instead)."""
     return pages.select("url", "html").mapInPandas(
         _detect_lines, schema=_LINES_SCHEMA
     )
+
+
+# fused-stage row schema: one 'html' row per document (text carries the
+# extracted blocks) + one 'line' row per embedded image line (strip/width
+# carry the tensor; text is filled by the recognition stage).
+_FUSED_SCHEMA = (
+    "url string, kind string, line_id int, text string, "
+    "strip array<float>, width long"
+)
+
+
+def _extract_and_detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Single-scan fused detection: decode each document ONCE (charset
+    sniffing), then run the HTML block extraction AND the embedded-line
+    detection on the same decoded string."""
+    from ocr_spark.kernels.charset import decode_html
+    from ocr_spark.kernels.html import extract_main_text
+
+    for pdf in batches:
+        urls, kinds, ids, texts, strips, widths = [], [], [], [], [], []
+        for url, html in zip(pdf["url"], pdf["html"]):
+            decoded = decode_html(bytes(html))
+            block_text, _, _ = extract_main_text(decoded)
+            urls.append(url)
+            kinds.append("html")
+            ids.append(-1)
+            texts.append(block_text)
+            strips.append(None)
+            widths.append(0)
+            for i, strip, width in _lines_of_doc(decoded):
+                urls.append(url)
+                kinds.append("line")
+                ids.append(i)
+                texts.append("")
+                strips.append(strip.ravel().tolist())
+                widths.append(width)
+        yield pd.DataFrame(
+            {
+                "url": urls,
+                "kind": kinds,
+                "line_id": ids,
+                "text": texts,
+                "strip": strips,
+                "width": widths,
+            }
+        )
+
+
+def _recognize_mixed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Recognition stage of the fused pipeline: conv+CTC on 'line' rows
+    (batched across all documents in the Arrow batch — the RECOG_BATCH
+    discipline), 'html' rows pass through untouched. Strips are dropped
+    here, before the shuffle."""
+    from ocr_spark.kernels.ocr import recognize_lines
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        texts = pdf["text"].to_numpy(dtype=object, copy=True)
+        mask = (pdf["kind"] == "line").to_numpy()
+        if mask.any():
+            strips = np.stack(
+                [
+                    np.asarray(s, dtype=np.float32).reshape(
+                        LINE_HEIGHT, MAX_LINE_WIDTH
+                    )
+                    for s in pdf["strip"][mask]
+                ]
+            )
+            texts[mask] = recognize_lines(
+                strips, pdf["width"][mask].to_numpy(np.int64)
+            )
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "kind": pdf["kind"],
+                "line_id": pdf["line_id"],
+                "text": texts,
+            }
+        )
 
 
 def extract_full(pages: DataFrame) -> DataFrame:
@@ -98,30 +195,30 @@ def extract_full(pages: DataFrame) -> DataFrame:
     Output (url, extracted_text): html blocks first (document order), then
     recognized lines in image order, all joined with BLOCK_SEPARATOR —
     the reading-order contract of the reference's result sink
-    (``/root/reference/test_img.py:121-132``).
+    (``/root/reference/test_img.py:121-132``). Physical plan: one scan of
+    pages, two pipelined map stages, one groupBy(url) exchange of slim
+    text rows (asserted in tests/test_pipeline.py).
     """
-    from ocr_spark.operators.extract_html import extract_pages
-    from ocr_spark.operators.extract_ocr import recognize_line_strips
-
-    html_branch = extract_pages(pages).select("url", "extracted_text")
-    rec = recognize_line_strips(detect_image_lines(pages))
-    ocr_agg = rec.groupBy("url").agg(
+    fused = pages.select("url", "html").mapInPandas(
+        _extract_and_detect, schema=_FUSED_SCHEMA
+    )
+    rec = fused.mapInPandas(
+        _recognize_mixed, schema="url string, kind string, line_id int, text string"
+    )
+    # JVM-side reading-order assembly: 'html' sorts before 'line', lines
+    # sort by line_id; empty html blocks drop out of the join.
+    assembled = rec.groupBy("url").agg(
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_id", "text"))),
-                lambda s: s["text"],
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("kind", "line_id", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                lambda t: t != F.lit(""),
             ),
             BLOCK_SEPARATOR,
-        ).alias("ocr_text")
+        ).alias("extracted_text")
     )
-    merged = html_branch.join(ocr_agg, "url", "left")
-    return merged.select(
-        "url",
-        F.concat_ws(
-            BLOCK_SEPARATOR,
-            F.when(F.col("extracted_text") == "", None).otherwise(
-                F.col("extracted_text")
-            ),
-            F.col("ocr_text"),
-        ).alias("extracted_text"),
-    )
+    return assembled.select("url", "extracted_text")

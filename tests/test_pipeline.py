@@ -5,7 +5,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from ocr_spark.operators.pipeline import detect_image_lines, extract_full
-from ocr_spark.plans.inspect import count_exchanges
+from ocr_spark.plans.inspect import count_exchanges, explain_str
 from ocr_spark.sources.pages import (
     pages_from_documents,
     pages_with_images_from_documents,
@@ -37,8 +37,20 @@ def test_line_detection_counts(spark):
 
 
 def test_pipeline_shuffle_budget(spark):
-    """Design contract: fan-out repartition + line-assembly groupBy + final
-    join — at most 3 exchanges; the html blob itself never shuffles (only
-    slim columns cross exchanges)."""
+    """Design contract of the fused pipeline: the ONLY exchange it adds
+    over the source is the groupBy(url) assembly, carrying slim text rows;
+    strips and the html blob never shuffle."""
     pages = pages_with_images_from_documents(spark, SF)
-    assert count_exchanges(extract_full(pages)) <= 3
+    source_exchanges = count_exchanges(pages)
+    assert count_exchanges(extract_full(pages)) == source_exchanges + 1
+
+
+def test_pipeline_single_scan(spark):
+    """The corpus is scanned and parsed exactly once: the fused pipeline
+    adds exactly TWO UDF stages over the source (extract+detect fused into
+    one pass, then recognize) — the double-scan spelling shows three, with
+    the extraction parse running twice."""
+    pages = pages_with_images_from_documents(spark, SF)
+    base = explain_str(pages, "simple").count("MapInPandas")
+    plan = explain_str(extract_full(pages), "simple")
+    assert plan.count("MapInPandas") == base + 2, plan
