@@ -280,6 +280,56 @@ def q_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ocr_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR branch under NON-identity rendering: each doc's alphanumeric
+    prefix is rendered in the 5×7 bitmap-font atlas, bilinear-upscaled 2×,
+    perturbed with seeded Gaussian noise (σ=0.1), resampled back to the
+    8-row strip geometry, and recognized by normalized cross-correlation +
+    CTC (``kernels/font.py``). The oracle asserts exact text recovery —
+    what reaches the recognizer is anti-aliased and noisy, never
+    bit-identical to any template."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_spark.kernels.font import render_distorted_line
+    from ocr_spark.operators.extract_ocr import recognize_line_strips_font
+
+    def strips_fn(batches):
+        for pdf in batches:
+            ids, strips, widths = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = re.sub(r"[^0-9a-zA-Z]", "", str(text))[:40]
+                strip, width = render_distorted_line(
+                    s, scale=2.0, sigma=0.1, seed=int(doc_id)
+                )
+                ids.append(int(doc_id))
+                strips.append(strip.ravel().tolist())
+                widths.append(width)
+            yield pd.DataFrame(
+                {
+                    "url": [str(i) for i in ids],
+                    "line_id": ids,
+                    "strip": strips,
+                    "width": widths,
+                }
+            )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    lines = docs.mapInPandas(
+        strips_fn,
+        schema="url string, line_id int, strip array<float>, width long",
+    )
+    out = recognize_line_strips_font(lines)
+    return out.select(
+        F.col("line_id").cast("long").alias("doc_id"),
+        F.col("text").alias("text_out"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → feature extraction."""
     from ocr_spark.operators.multimodal import extract_media_features
@@ -703,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nodes_profile": q_nodes_profile,
         "extract_pdf": q_extract_pdf,
         "ocr_roundtrip": q_ocr_roundtrip,
+        "ocr_noisy": q_ocr_noisy,
         "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -780,6 +831,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ocr_roundtrip": """
+            SELECT doc_id,
+                   substr(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'), 1, 40)
+                       AS text_out
+            FROM documents
+        """,
+        "ocr_noisy": """
             SELECT doc_id,
                    substr(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'), 1, 40)
                        AS text_out

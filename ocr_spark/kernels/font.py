@@ -1,0 +1,261 @@
+"""Fixed bitmap-font atlas + normalized-cross-correlation line recognizer.
+
+This upgrades the OCR branch from a matched filter over a self-derived bit
+code (``kernels/ocr.py``) to a recognizer over a REAL glyph atlas: the
+classic 5×7 dot-matrix font (the public-domain pattern family used by
+HD44780-class character LCDs for decades), hand-coded here for the 62
+alphanumeric characters of the engine vocabulary, each glyph in an 8×6
+cell (one gap row, one gap column).
+
+Recognition is normalized cross-correlation (NCC) per stride-6 window
+against the zero-mean, unit-norm atlas — invariant to brightness gain and
+offset, which is what makes it robust to anti-aliased resampling and
+additive noise (the capabilities the synthetic-code recognizer lacked).
+The correlation scores feed the SAME CTC greedy decoder as the conv path
+(``kernels/ctc.py``): scores land at their ``CHAR_VECTOR`` class indices
+in a [T, 95] logits tensor whose blank class carries a fixed acceptance
+threshold ``BLANK_TAU`` — a window correlating worse than ``BLANK_TAU``
+with every glyph decodes as blank. Capability shape mirrors the
+reference's recognition branch
+(``/root/reference/Module/RecognitionBackbone.py:20-123`` +
+``Module/RecognitionLoss.py:33-38``): template bank → per-timestep class
+scores → CTC collapse; the learned weights are replaced by the fixed
+atlas (training is out of scope — SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocr_spark.config import (
+    BLANK_INDEX,
+    CHAR_VECTOR,
+    MAX_LINE_WIDTH,
+    NUM_CLASSES,
+)
+from ocr_spark.kernels.ctc import ctc_greedy_decode_batch
+
+GLYPH_H = 8  # cell height (7 font rows + 1 gap row)
+GLYPH_W = 6  # cell width (5 font columns + 1 gap column)
+MAX_GLYPHS = MAX_LINE_WIDTH // GLYPH_W  # 64 cells per 384-wide strip
+
+# a window must correlate at least this well with some glyph to beat blank.
+# Margin measured over 300 noise seeds at the contract distortion (2× scale,
+# bilinear AA, σ=0.10): glyph windows score ≥ 0.91, blank/noise windows
+# ≤ 0.62 — τ sits mid-margin.
+BLANK_TAU = 0.72
+
+# blur-variant scales in the template bank: each glyph is also matched in
+# the form it takes after s×-upscale + bilinear-downscale (the multi-
+# template matched-filter move — anti-aliased strokes correlate with the
+# anti-aliased template, not the ideal bitmap).
+VARIANT_SCALES = (1.5, 2.0)
+
+# 5×7 dot-matrix glyphs ('#' = lit). Rows top→bottom, 5 chars per row.
+_F = {
+    "0": (".###.", "#...#", "#..##", "#.#.#", "##..#", "#...#", ".###."),
+    "1": ("..#..", ".##..", "..#..", "..#..", "..#..", "..#..", ".###."),
+    "2": (".###.", "#...#", "....#", "...#.", "..#..", ".#...", "#####"),
+    "3": ("#####", "...#.", "..#..", "...#.", "....#", "#...#", ".###."),
+    "4": ("...#.", "..##.", ".#.#.", "#..#.", "#####", "...#.", "...#."),
+    "5": ("#####", "#....", "####.", "....#", "....#", "#...#", ".###."),
+    "6": ("..##.", ".#...", "#....", "####.", "#...#", "#...#", ".###."),
+    "7": ("#####", "....#", "...#.", "..#..", ".#...", ".#...", ".#..."),
+    "8": (".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."),
+    "9": (".###.", "#...#", "#...#", ".####", "....#", "...#.", ".##.."),
+    "A": (".###.", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    "B": ("####.", "#...#", "#...#", "####.", "#...#", "#...#", "####."),
+    "C": (".###.", "#...#", "#....", "#....", "#....", "#...#", ".###."),
+    "D": ("###..", "#..#.", "#...#", "#...#", "#...#", "#..#.", "###.."),
+    "E": ("#####", "#....", "#....", "####.", "#....", "#....", "#####"),
+    "F": ("#####", "#....", "#....", "####.", "#....", "#....", "#...."),
+    "G": (".###.", "#...#", "#....", "#.###", "#...#", "#...#", ".####"),
+    "H": ("#...#", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    "I": (".###.", "..#..", "..#..", "..#..", "..#..", "..#..", ".###."),
+    "J": ("..###", "...#.", "...#.", "...#.", "...#.", "#..#.", ".##.."),
+    "K": ("#...#", "#..#.", "#.#..", "##...", "#.#..", "#..#.", "#...#"),
+    "L": ("#....", "#....", "#....", "#....", "#....", "#....", "#####"),
+    "M": ("#...#", "##.##", "#.#.#", "#.#.#", "#...#", "#...#", "#...#"),
+    "N": ("#...#", "##..#", "#.#.#", "#..##", "#...#", "#...#", "#...#"),
+    "O": (".###.", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    "P": ("####.", "#...#", "#...#", "####.", "#....", "#....", "#...."),
+    "Q": (".###.", "#...#", "#...#", "#...#", "#.#.#", "#..#.", ".##.#"),
+    "R": ("####.", "#...#", "#...#", "####.", "#.#..", "#..#.", "#...#"),
+    "S": (".####", "#....", "#....", ".###.", "....#", "....#", "####."),
+    "T": ("#####", "..#..", "..#..", "..#..", "..#..", "..#..", "..#.."),
+    "U": ("#...#", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    "V": ("#...#", "#...#", "#...#", "#...#", ".#.#.", ".#.#.", "..#.."),
+    "W": ("#...#", "#...#", "#...#", "#.#.#", "#.#.#", "##.##", "#...#"),
+    "X": ("#...#", "#...#", ".#.#.", "..#..", ".#.#.", "#...#", "#...#"),
+    "Y": ("#...#", "#...#", ".#.#.", "..#..", "..#..", "..#..", "..#.."),
+    "Z": ("#####", "....#", "...#.", "..#..", ".#...", "#....", "#####"),
+    "a": (".....", ".....", ".###.", "....#", ".####", "#...#", ".####"),
+    "b": ("#....", "#....", "####.", "#...#", "#...#", "#...#", "####."),
+    "c": (".....", ".....", ".###.", "#....", "#....", "#...#", ".###."),
+    "d": ("....#", "....#", ".####", "#...#", "#...#", "#...#", ".####"),
+    "e": (".....", ".....", ".###.", "#...#", "#####", "#....", ".###."),
+    "f": ("..##.", ".#..#", ".#...", "###..", ".#...", ".#...", ".#..."),
+    "g": (".....", ".####", "#...#", "#...#", ".####", "....#", ".###."),
+    "h": ("#....", "#....", "####.", "#...#", "#...#", "#...#", "#...#"),
+    "i": ("..#..", ".....", ".##..", "..#..", "..#..", "..#..", ".###."),
+    "j": ("...#.", ".....", "..##.", "...#.", "...#.", "#..#.", ".##.."),
+    "k": ("#....", "#....", "#..#.", "#.#..", "##...", "#.#..", "#..#."),
+    "l": (".#...", ".#...", ".#...", ".#...", ".#...", ".#..#", "..##."),
+    "m": (".....", ".....", "##.#.", "#.#.#", "#.#.#", "#.#.#", "#.#.#"),
+    "n": (".....", ".....", "####.", "#...#", "#...#", "#...#", "#...#"),
+    "o": (".....", ".....", ".###.", "#...#", "#...#", "#...#", ".###."),
+    "p": (".....", "####.", "#...#", "#...#", "####.", "#....", "#...."),
+    "q": (".....", ".####", "#...#", "#...#", ".####", "....#", "....#"),
+    "r": (".....", ".....", "#.##.", "##..#", "#....", "#....", "#...."),
+    "s": (".....", ".....", ".####", "#....", ".###.", "....#", "####."),
+    "t": (".#...", ".#...", "###..", ".#...", ".#...", ".#..#", "..##."),
+    "u": (".....", ".....", "#...#", "#...#", "#...#", "#..##", ".##.#"),
+    "v": (".....", ".....", "#...#", "#...#", "#...#", ".#.#.", "..#.."),
+    "w": (".....", ".....", "#...#", "#...#", "#.#.#", "#.#.#", ".#.#."),
+    "x": (".....", ".....", "#...#", ".#.#.", "..#..", ".#.#.", "#...#"),
+    "y": (".....", "#...#", "#...#", "#...#", ".####", "....#", ".###."),
+    "z": (".....", ".....", "#####", "...#.", "..#..", ".#...", "#####"),
+}
+
+FONT_CHARS = "".join(c for c in CHAR_VECTOR if c in _F)
+
+
+def glyph_bitmap(ch: str) -> np.ndarray:
+    """8×6 float cell for one character (7 font rows + gap row/column)."""
+    cell = np.zeros((GLYPH_H, GLYPH_W), dtype=np.float32)
+    rows = _F[ch]
+    for r, row in enumerate(rows):
+        for c, bit in enumerate(row):
+            if bit == "#":
+                cell[r, c] = 1.0
+    return cell
+
+
+def _normed(mats: np.ndarray) -> np.ndarray:
+    centered = mats - mats.mean(axis=1, keepdims=True)
+    norms = np.linalg.norm(centered, axis=1, keepdims=True)
+    return (centered / np.maximum(norms, 1e-9)).astype(np.float32)
+
+
+def _atlas() -> tuple[np.ndarray, np.ndarray, int]:
+    """(class_indices [n], templates [(1+v)·n, 48] zero-mean unit-norm,
+    n_variants). Variant block v of the template matrix holds every glyph
+    as it appears after the v-th ``VARIANT_SCALES`` up/down resample."""
+    from ocr_spark.kernels.ocr import bilinear_resample
+
+    idx = np.array([CHAR_VECTOR.index(c) for c in FONT_CHARS], dtype=np.int64)
+    cells = [glyph_bitmap(c) for c in FONT_CHARS]
+    blocks = [_normed(np.stack([g.ravel() for g in cells]))]
+    for s in VARIANT_SCALES:
+        blurred = [
+            bilinear_resample(
+                bilinear_resample(g, round(GLYPH_H * s), round(GLYPH_W * s)),
+                GLYPH_H,
+                GLYPH_W,
+            ).ravel()
+            for g in cells
+        ]
+        blocks.append(_normed(np.stack(blurred)))
+    return idx, np.vstack(blocks), len(blocks)
+
+
+_ATLAS_IDX, _ATLAS_T, _N_VARIANTS = _atlas()
+
+
+def render_line_font(
+    text: str, pad_to: int = MAX_LINE_WIDTH
+) -> tuple[np.ndarray, int]:
+    """Render alphanumeric text as an 8×pad_to strip of 5×7 glyphs.
+
+    Out-of-atlas characters are skipped (the vocabulary discipline,
+    ``/root/reference/DataPreprocess/DataGen.py:28-45``); a blank cell is
+    inserted between repeated characters so CTC merge_repeated cannot
+    collapse them; text longer than the 64-cell strip is truncated.
+    """
+    chars = [c for c in text if c in _F]
+    slots: list[str | None] = []
+    for c in chars:
+        if slots and slots[-1] == c:
+            slots.append(None)
+        slots.append(c)
+    slots = slots[:MAX_GLYPHS]
+    width = len(slots) * GLYPH_W
+    strip = np.zeros((GLYPH_H, pad_to), dtype=np.float32)
+    for t, c in enumerate(slots):
+        if c is not None:
+            strip[:, t * GLYPH_W : (t + 1) * GLYPH_W] = glyph_bitmap(c)
+    return strip, width
+
+
+def render_distorted_line(
+    text: str,
+    scale: float = 2.0,
+    sigma: float = 0.1,
+    seed: int = 0,
+    pad_to: int = MAX_LINE_WIDTH,
+) -> tuple[np.ndarray, int]:
+    """Non-identity rendering: glyph strip → ``scale``× bilinear upscale →
+    additive Gaussian noise (seeded, reproducible — ``default_rng(seed)``
+    carries no hidden state) → detector-side bilinear normalization back
+    to height 8. This is the fixture for the recognizer's robustness
+    claims: what reaches recognition is anti-aliased, noisy, and never
+    bit-identical to any template.
+    """
+    from ocr_spark.kernels.ocr import bilinear_resample, normalize_strip
+
+    strip, width = render_line_font(text)
+    content = strip[:, :width]
+    if scale != 1.0:
+        content = bilinear_resample(
+            content, round(GLYPH_H * scale), round(width * scale)
+        )
+    if sigma > 0:
+        rng = np.random.default_rng(seed)
+        content = np.clip(
+            content + rng.normal(0.0, sigma, content.shape), 0.0, 1.0
+        ).astype(np.float32)
+    if content.shape[0] != GLYPH_H:
+        return normalize_strip(content, pad_to=pad_to, mode="bilinear")
+    out = np.zeros((GLYPH_H, pad_to), dtype=np.float32)
+    out[:, : content.shape[1]] = content
+    return out, content.shape[1]
+
+
+def font_line_logits(strips: np.ndarray) -> np.ndarray:
+    """Batched NCC forward pass: ``[B, 8, 384] → [B, 64, 95]`` logits.
+
+    Stride-6 windowing is a reshape; per window the score of class c is
+    the normalized cross-correlation with glyph c's template (gain/offset
+    invariant); the blank class scores the constant ``BLANK_TAU``. Two
+    matmul-sized NumPy ops per batch — the same batched-inference
+    discipline as the conv path.
+    """
+    strips = np.asarray(strips, dtype=np.float32)
+    if strips.ndim == 2:
+        strips = strips[None]
+    B, H, Wd = strips.shape
+    T = Wd // GLYPH_W
+    windows = (
+        strips.reshape(B, H, T, GLYPH_W)
+        .transpose(0, 2, 1, 3)
+        .reshape(B, T, H * GLYPH_W)
+        .astype(np.float64)
+    )
+    centered = windows - windows.mean(axis=2, keepdims=True)
+    norms = np.linalg.norm(centered, axis=2, keepdims=True)
+    ncc = (centered / np.maximum(norms, 1e-9)) @ _ATLAS_T.T.astype(np.float64)
+    # per class, best variant wins (multi-template matched filter)
+    ncc = ncc.reshape(B, T, _N_VARIANTS, len(FONT_CHARS)).max(axis=2)
+    logits = np.full((B, T, NUM_CLASSES), -1.0, dtype=np.float32)
+    logits[:, :, _ATLAS_IDX] = ncc.astype(np.float32)
+    logits[:, :, BLANK_INDEX] = BLANK_TAU
+    return logits
+
+
+def recognize_lines_font(
+    strips: np.ndarray, widths: np.ndarray | list[int]
+) -> list[str]:
+    """strips [B, 8, 384] + true widths → decoded texts via NCC + CTC."""
+    logits = font_line_logits(strips)
+    seq_lens = np.asarray(widths, dtype=np.int64) // GLYPH_W
+    return ctc_greedy_decode_batch(logits, seq_lens)

@@ -102,20 +102,59 @@ def render_line(text: str, pad_to: int = MAX_LINE_WIDTH) -> tuple[np.ndarray, in
     return strip, width
 
 
+def bilinear_resample(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear gather + lerp resampling to (out_h, out_w) — the
+    deterministic NumPy re-expression of the reference's spatial-transformer
+    sampler (``/root/reference/Module/transformer.py:95-160``: corner
+    gather, fractional weights, weighted sum), with pixel-center alignment
+    and edge clamping.
+
+    Properties the tests pin down: downscaling an integer-replicated
+    upscale reproduces the original exactly (every sample point falls
+    inside a constant block), and non-integer scales interpolate instead
+    of aliasing the way nearest-neighbor does.
+    """
+    h, w = img.shape
+    img = np.asarray(img, dtype=np.float64)
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.floor(ys)
+    x0 = np.floor(xs)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    y0i = np.clip(y0.astype(np.int64), 0, h - 1)
+    y1i = np.clip(y0i + 1, 0, h - 1)
+    x0i = np.clip(x0.astype(np.int64), 0, w - 1)
+    x1i = np.clip(x0i + 1, 0, w - 1)
+    top = img[y0i][:, x0i] * (1 - wx) + img[y0i][:, x1i] * wx
+    bot = img[y1i][:, x0i] * (1 - wx) + img[y1i][:, x1i] * wx
+    return (top * (1 - wy) + bot * wy).astype(np.float32)
+
+
 def normalize_strip(
-    strip: np.ndarray, target_h: int = LINE_HEIGHT, pad_to: int = MAX_LINE_WIDTH
+    strip: np.ndarray,
+    target_h: int = LINE_HEIGHT,
+    pad_to: int = MAX_LINE_WIDTH,
+    mode: str = "nearest",
 ) -> tuple[np.ndarray, int]:
     """Resample an arbitrary-height line strip to height 8, width
     ``ceil(8·w/h)``, padded to 384 — the reference's RoIRotate geometry
     (``/root/reference/DataPreprocess/DataGen.py:338-356``,
-    ``Module/RRotateLayer.py:94-107``), via nearest-neighbor gather (the
-    deterministic cousin of ``Module/transformer.py``'s bilinear sampler).
+    ``Module/RRotateLayer.py:94-107``). ``mode`` selects the sampler:
+    ``"nearest"`` (integer gather) or ``"bilinear"``
+    (``bilinear_resample``, the reference ``Module/transformer.py``
+    semantics — required for non-integer scales, which nearest aliases).
     """
     h, w = strip.shape
     out_w = min(int(np.ceil(target_h * w / h)), pad_to)
-    ys = np.minimum((np.arange(target_h) * h / target_h).astype(np.int64), h - 1)
-    xs = np.minimum((np.arange(out_w) * w / out_w).astype(np.int64), w - 1)
-    resampled = strip[np.ix_(ys, xs)].astype(np.float32)
+    if mode == "bilinear":
+        resampled = bilinear_resample(strip, target_h, out_w)
+    else:
+        ys = np.minimum(
+            (np.arange(target_h) * h / target_h).astype(np.int64), h - 1
+        )
+        xs = np.minimum((np.arange(out_w) * w / out_w).astype(np.int64), w - 1)
+        resampled = strip[np.ix_(ys, xs)].astype(np.float32)
     out = np.zeros((target_h, pad_to), dtype=np.float32)
     out[:, :out_w] = resampled
     return out, out_w

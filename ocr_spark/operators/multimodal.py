@@ -140,15 +140,17 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(
-    media: DataFrame, out_w: int = 8, out_h: int = 8
+    media: DataFrame, out_w: int = 8, out_h: int = 8, mode: str = "bilinear"
 ) -> DataFrame:
-    """Decode + nearest-neighbor resize to a fixed raster per image row.
+    """Decode + resize to a fixed raster per image row.
 
-    The deterministic resampler is the same gather pattern as the OCR
-    branch's ``normalize_strip`` (the RoIRotate geometry); a real
-    deployment swaps ``decode_image`` for a codec and keeps this exact
-    plumbing. Payload column dropped at the boundary.
+    ``mode="bilinear"`` uses the OCR branch's gather+lerp sampler
+    (``kernels.ocr.bilinear_resample``, the reference transformer.py
+    semantics); ``"nearest"`` keeps the integer gather. A real deployment
+    swaps ``decode_image`` for a codec and keeps this exact plumbing.
+    Payload column dropped at the boundary.
     """
+    from ocr_spark.kernels.ocr import bilinear_resample
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -161,13 +163,16 @@ def resize_images(
                 w = int(meta["width"] or 16)
                 h = int(meta["height"] or 16)
                 img = decode_image(bytes(payload), w, h)
-                ys = np.minimum(
-                    (np.arange(out_h) * h / out_h).astype(np.int64), h - 1
-                )
-                xs = np.minimum(
-                    (np.arange(out_w) * w / out_w).astype(np.int64), w - 1
-                )
-                small = img[np.ix_(ys, xs)].astype(np.float32)
+                if mode == "bilinear":
+                    small = bilinear_resample(img, out_h, out_w)
+                else:
+                    ys = np.minimum(
+                        (np.arange(out_h) * h / out_h).astype(np.int64), h - 1
+                    )
+                    xs = np.minimum(
+                        (np.arange(out_w) * w / out_w).astype(np.int64), w - 1
+                    )
+                    small = img[np.ix_(ys, xs)].astype(np.float32)
                 ids.append(int(mid))
                 ws.append(out_w)
                 hs.append(out_h)

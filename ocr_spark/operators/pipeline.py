@@ -78,7 +78,10 @@ def _lines_of_doc(html_text: str):
             # crop to true content width before resampling, as
             # RoIRotate crops the box before the affine resample
             tall = tall[:, :width]
-            strip, width = normalize_strip(tall)
+            # bilinear (transformer.py semantics): identical to nearest on
+            # the integer-scaled fixtures (tests/test_bilinear.py), correct
+            # on non-integer scales where nearest aliases
+            strip, width = normalize_strip(tall, mode="bilinear")
         yield i, strip, width
 
 

@@ -1,0 +1,83 @@
+"""Bitmap-font atlas + NCC recognizer: distinctness, clean and distorted
+roundtrips (anti-aliasing, 1.5×/2×/3× scaling, additive noise).
+
+The capability claim this suite pins down: unlike the conv-code path
+(``kernels/ocr.py``), the font recognizer reads strips it did NOT render —
+anti-aliased, rescaled, noise-perturbed imagery — via normalized
+cross-correlation over a fixed public-style 5×7 dot-matrix glyph atlas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.kernels.font import (
+    FONT_CHARS,
+    _ATLAS_T,
+    render_distorted_line,
+    render_line_font,
+    recognize_lines_font,
+)
+
+
+def _roundtrip(text: str, **distort) -> str:
+    if distort:
+        strip, width = render_distorted_line(text, **distort)
+    else:
+        strip, width = render_line_font(text)
+    return recognize_lines_font(strip[None], [width])[0]
+
+
+def test_full_alphabet_clean_roundtrip():
+    assert _roundtrip(FONT_CHARS) == FONT_CHARS
+
+
+def test_repeated_chars_survive_ctc_collapse():
+    assert _roundtrip("aabbcc11ZZ") == "aabbcc11ZZ"
+
+
+def test_atlas_glyphs_pairwise_distinct():
+    """No two glyph templates (any variant) are near-identical — the
+    margin that keeps NCC classification unambiguous."""
+    n = len(FONT_CHARS)
+    clean = _ATLAS_T[:n].astype(np.float64)
+    G = clean @ clean.T
+    np.fill_diagonal(G, 0.0)
+    i, j = np.unravel_index(G.argmax(), G.shape)
+    assert G.max() < 0.95, (FONT_CHARS[i], FONT_CHARS[j], G.max())
+
+
+@pytest.mark.parametrize(
+    "scale,sigma",
+    [(1.5, 0.0), (2.0, 0.0), (3.0, 0.0), (1.0, 0.15), (2.0, 0.1), (3.0, 0.1)],
+)
+def test_distorted_roundtrip_exact(scale, sigma):
+    """Anti-aliased scaling and noise at the contract operating points must
+    recover the text exactly, across many noise seeds."""
+    text = "Hello123World098abcXYZllI1mWnh"
+    for seed in range(40):
+        got = _roundtrip(text, scale=scale, sigma=sigma, seed=seed)
+        assert got == text, (scale, sigma, seed, got)
+
+
+def test_hard_regime_accuracy_floor():
+    """1.5× + noise is past the design margin (downsampled noise blurs into
+    glyph-shaped blobs); accuracy degrades but must stay useful."""
+    text = "Quartz90vex"
+    ok = sum(
+        _roundtrip(text, scale=1.5, sigma=0.08, seed=s) == text
+        for s in range(40)
+    )
+    assert ok >= 28, ok
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(alphabet=FONT_CHARS, min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_property_noisy_roundtrip(text, seed):
+    assert _roundtrip(text, scale=2.0, sigma=0.1, seed=seed) == text
