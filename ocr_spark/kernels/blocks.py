@@ -112,6 +112,165 @@ def nms_merge_blocks(
     return mb[keep_sorted], ms[keep_sorted], out_members
 
 
+# ---------------------------------------------------------------------------
+# Rotated / polygon geometry (quad domain).
+#
+# Re-derives the semantics of the reference's polygon NMS
+# (``/root/reference/locality_aware_nms.py:5-15`` via shapely, C++
+# ``lanms/lanms.h:22-34`` via Clipper) in pure NumPy: convex-polygon
+# intersection by Sutherland–Hodgman clipping, shoelace areas, the same
+# score-weighted merge on the 8 coordinates, and the same two-pass
+# locality+greedy NMS — for layouts whose regions are rotated or otherwise
+# not axis-aligned, where the AABB ``box_iou`` above is wrong.
+# ---------------------------------------------------------------------------
+
+
+def polygon_area(poly: np.ndarray) -> float:
+    """Signed shoelace area of a polygon [N, 2] (positive = CCW)."""
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * float(
+        np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y)
+    )
+
+
+def clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip a polygon by a CONVEX clip polygon.
+
+    Both [N, 2]; clip must be convex (quads from rotated rectangles are).
+    Returns the intersection polygon [M, 2] (possibly empty). Orientation
+    of the clip polygon is normalized internally.
+    """
+    if polygon_area(clip) < 0:
+        clip = clip[::-1]
+    output = subject.astype(np.float64)
+    m = len(clip)
+    for i in range(m):
+        if len(output) == 0:
+            break
+        a, b = clip[i], clip[(i + 1) % m]
+        edge = b - a
+        # inside = left of directed edge a→b (CCW clip polygon)
+        d = (output - a) @ np.array([-edge[1], edge[0]])
+        new_pts: list[np.ndarray] = []
+        n = len(output)
+        for j in range(n):
+            cur, nxt = output[j], output[(j + 1) % n]
+            dc, dn = d[j], d[(j + 1) % n]
+            if dc >= 0:
+                new_pts.append(cur)
+            if (dc >= 0) != (dn >= 0):
+                t = dc / (dc - dn)
+                new_pts.append(cur + t * (nxt - cur))
+        output = np.array(new_pts) if new_pts else np.empty((0, 2))
+    return output
+
+
+def polygon_iou(a: np.ndarray, b: np.ndarray) -> float:
+    """IoU of two convex polygons [N, 2] (the lanms ``intersection``
+    semantics: clipped-intersection area over union)."""
+    inter_poly = clip_polygon(a, b)
+    if len(inter_poly) < 3:
+        return 0.0
+    inter = abs(polygon_area(inter_poly))
+    union = abs(polygon_area(a)) + abs(polygon_area(b)) - inter
+    return inter / union if union > 0 else 0.0
+
+
+def sort_quad(quad: np.ndarray) -> np.ndarray:
+    """Canonicalize a quad: rotate vertices so the one nearest the origin
+    (min x+y, the top-left) comes first, orientation preserved — the
+    ``sort_poly`` discipline (``/root/reference/DetectUtil.py:219-225``)."""
+    start = int(np.argmin(quad.sum(axis=1)))
+    return np.roll(quad, -start, axis=0)
+
+
+def rect_to_quad(box: np.ndarray, angle: float = 0.0) -> np.ndarray:
+    """(x0, y0, x1, y1) + rotation about the center → quad [4, 2].
+
+    angle in radians, the reference's θ∈[−π/4, π/4] geometry-map
+    convention (``/root/reference/DataPreprocess/DataGen.py:281-291``).
+    """
+    x0, y0, x1, y1 = (float(v) for v in box)
+    cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+    corners = np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64
+    )
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s], [s, c]])
+    return (corners - [cx, cy]) @ rot.T + [cx, cy]
+
+
+def nms_merge_quads(
+    quads: np.ndarray,
+    scores: np.ndarray,
+    thres: float = 0.3,
+) -> tuple[np.ndarray, np.ndarray, list[list[int]]]:
+    """Locality-aware NMS over quads [N, 4, 2] — the exact two-pass
+    structure of ``nms_merge_blocks`` with polygon IoU and the same
+    score-weighted coordinate merge (``locality_aware_nms.py:18-58``
+    semantics in the rotated domain)."""
+    n = len(quads)
+    if n == 0:
+        return quads.reshape(0, 4, 2), scores, []
+    quads = quads.astype(np.float64)
+    scores = scores.astype(np.float64)
+
+    merged_q: list[np.ndarray] = []
+    merged_s: list[float] = []
+    merged_m: list[list[int]] = []
+    cur_q, cur_s, cur_m = quads[0].copy(), float(scores[0]), [0]
+    for i in range(1, n):
+        if polygon_iou(quads[i], cur_q) > thres:
+            cur_q = (cur_s * cur_q + float(scores[i]) * quads[i]) / (
+                cur_s + float(scores[i])
+            )
+            cur_s = cur_s + float(scores[i])
+            cur_m.append(i)
+        else:
+            merged_q.append(cur_q)
+            merged_s.append(cur_s)
+            merged_m.append(cur_m)
+            cur_q, cur_s, cur_m = quads[i].copy(), float(scores[i]), [i]
+    merged_q.append(cur_q)
+    merged_s.append(cur_s)
+    merged_m.append(cur_m)
+
+    mq = np.array(merged_q)
+    ms = np.array(merged_s)
+    order = np.argsort(-ms, kind="stable")
+    keep: list[int] = []
+    while order.size > 0:
+        i = int(order[0])
+        keep.append(i)
+        if order.size == 1:
+            break
+        rest = order[1:]
+        ious = np.array([polygon_iou(mq[i], mq[j]) for j in rest])
+        order = rest[ious <= thres]
+
+    keep_sorted = sorted(keep)
+    out_members = []
+    for i in keep_sorted:
+        m = merged_m[i]
+        best = max(m, key=lambda j: (scores[j], -j))
+        out_members.append([best] + [j for j in m if j != best])
+    return mq[keep_sorted], ms[keep_sorted], out_members
+
+
+def quad_aabb(quads: np.ndarray) -> np.ndarray:
+    """Axis-aligned hulls [N, 4] of quads [N, 4, 2] — the projection that
+    lets rotated layouts reuse ``xy_cut_order`` for reading order."""
+    return np.stack(
+        [
+            quads[:, :, 0].min(axis=1),
+            quads[:, :, 1].min(axis=1),
+            quads[:, :, 0].max(axis=1),
+            quads[:, :, 1].max(axis=1),
+        ],
+        axis=1,
+    )
+
+
 def _widest_gap_1d(
     starts: np.ndarray, ends: np.ndarray, min_gap: float
 ) -> tuple[float | None, float]:

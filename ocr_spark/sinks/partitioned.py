@@ -116,13 +116,25 @@ def extract_and_write(
     pages: DataFrame,
     out_dir: str,
     resume: bool = True,
+    max_dates_per_write: int | None = None,
 ) -> dict:
     """Full production job: extract → salt-partitioned write → lineage →
     manifest commit, resumable at crawl_date granularity.
 
+    Pending dates are written in BATCHES (default: all pending dates in
+    one dynamic-partition-overwrite job — a 365-date backfill issues one
+    data write, one lineage write, one manifest append, not 365×3
+    sequential jobs). The commit unit stays the crawl_date: manifest rows
+    are per-date, and a crash mid-batch commits nothing for that batch, so
+    restart re-extracts exactly the uncommitted dates (idempotent — the
+    dynamic overwrite replaces any partial partitions). Set
+    ``max_dates_per_write`` to bound how much work a single crash can
+    lose on very long backfills.
+
     Returns {"dates_processed": [...], "dates_skipped": [...]}.
     """
     from ocr_spark.operators.extract_html import extract_pages
+    from ocr_spark.sinks.tableio import write_table
 
     # dynamic overwrite: re-running a partially-committed date replaces
     # only that date's directories, making the job idempotent
@@ -147,15 +159,14 @@ def extract_and_write(
         todo = all_dates
     skipped = [d for d in all_dates if d not in set(todo)]
 
-    for d in todo:
-        day_pages = keyed_input.filter(F.col("crawl_date") == F.lit(d)).drop(
-            "crawl_date"
-        )
-        extracted = extract_pages(day_pages)
-        keyed = with_partition_keys(extracted)
+    step = max_dates_per_write or max(len(todo), 1)
+    for at in range(0, len(todo), step):
+        chunk = todo[at : at + step]
+        chunk_pages = keyed_input.filter(
+            F.col("crawl_date").isin(chunk)
+        ).drop("crawl_date")
+        keyed = with_partition_keys(extract_pages(chunk_pages))
         # salt in the exchange, not the layout (see module docstring)
-        from ocr_spark.sinks.tableio import write_table
-
         write_table(
             keyed.repartition("crawl_date", "host_bucket", "salt").drop("salt"),
             f"{out_dir}/data",
@@ -164,16 +175,21 @@ def extract_and_write(
         )
         # lineage + manifest commit AFTER the data write returns. Lineage
         # is dynamic-overwritten BY DATE (not appended): a crash between
-        # the lineage and manifest writes re-runs the date on restart, and
-        # the rewrite replaces that date's lineage rows instead of
-        # duplicating them — audits stay exactly-once. A zero-row date
-        # writes no data directory at all (nothing to audit), detected
+        # the lineage and manifest writes re-runs the chunk on restart,
+        # and the rewrite replaces those dates' lineage rows instead of
+        # duplicating them — audits stay exactly-once. Zero-row dates
+        # write no data directory at all (nothing to audit), detected
         # EXPLICITLY via the filesystem — any other lineage-write failure
-        # (disk full, permissions, schema) must propagate, or the date
-        # would be committed with its audit trail silently missing.
-        if _partition_exists(spark, f"{out_dir}/data/crawl_date={d}"):
+        # (disk full, permissions, schema) must propagate, or the dates
+        # would be committed with their audit trail silently missing.
+        audited = [
+            d
+            for d in chunk
+            if _partition_exists(spark, f"{out_dir}/data/crawl_date={d}")
+        ]
+        if audited:
             out_keyed = spark.read.parquet(f"{out_dir}/data").filter(
-                F.col("crawl_date") == F.lit(d)
+                F.col("crawl_date").isin(audited)
             )
             write_table(
                 lineage_metrics(out_keyed).withColumn(
@@ -183,8 +199,10 @@ def extract_and_write(
                 ["crawl_date"],
                 mode="overwrite_partitions",
             )
-        spark.createDataFrame([(d,)], "crawl_date date").withColumn(
-            "committed_at", F.current_timestamp()
-        ).write.mode("append").parquet(f"{out_dir}/_manifest")
+        spark.createDataFrame(
+            [(d,) for d in chunk], "crawl_date date"
+        ).withColumn("committed_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(f"{out_dir}/_manifest")
 
     return {"dates_processed": todo, "dates_skipped": skipped}

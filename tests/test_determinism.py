@@ -18,6 +18,7 @@ NAMES = [
     "extract_full",
     "extract_pdf",
     "ocr_roundtrip",
+    "ocr_noisy",
     "dedup_simhash",
     "sim_ivf",
     "media_features",

@@ -123,3 +123,23 @@ def test_verify_lineage_clean_and_detects_tamper(spark, pages, tmp_path):
     victim = _glob.glob(f"{out}/data/crawl_date=*/host_bucket=*")[0]
     shutil.rmtree(victim)
     assert verify_lineage(spark, out).count() >= 1
+
+
+def test_batched_write_equals_chunked_write(spark, pages, tmp_path):
+    """One all-dates dynamic-overwrite write and a max_dates_per_write=1
+    per-date loop must produce identical data, lineage totals, and
+    manifest date sets."""
+    out_a = str(tmp_path / "batched")
+    out_b = str(tmp_path / "chunked")
+    ra = extract_and_write(spark, pages, out_a)
+    rb = extract_and_write(spark, pages, out_b, max_dates_per_write=1)
+    assert ra["dates_processed"] == rb["dates_processed"]
+    da = spark.read.parquet(f"{out_a}/data")
+    db = spark.read.parquet(f"{out_b}/data")
+    cols = ["crawl_date", "host_bucket", "n_rows", "n_bytes", "checksum"]
+    la = lineage_metrics(da).select(cols)
+    lb = lineage_metrics(db).select(cols)
+    assert la.exceptAll(lb).count() == 0 and lb.exceptAll(la).count() == 0
+    ma = {r.crawl_date for r in spark.read.parquet(f"{out_a}/_manifest").collect()}
+    mb = {r.crawl_date for r in spark.read.parquet(f"{out_b}/_manifest").collect()}
+    assert ma == mb
