@@ -236,6 +236,60 @@ def q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF branch under rotation: every block quad is rotated by a per-doc
+    angle in [-0.16, 0.16] rad, then suppressed/merged with TRUE polygon
+    IoU (Sutherland–Hodgman clip — the lanms semantics) and read in
+    XY-cut order over the quad hulls. The oracle is the same closed-form
+    expected text as ``extract_pdf``: rotation must not change reading
+    order or merge decisions, which only holds if the polygon geometry is
+    right (AABB IoU on rotated near-dup fixtures gives different merges)."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_spark.kernels.blocks import assemble_quad_text, rect_to_quad
+    from ocr_spark.kernels.synth_pdf import make_pdf_doc
+
+    def rotated_fn(batches):
+        for pdf in batches:
+            urls, texts_out, n_blocks = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rows, _, _ = make_pdf_doc(doc_id)
+                angle = ((doc_id % 9) - 4) * 0.04
+                pages_a = np.array([r["page"] for r in rows])
+                boxes = np.array(
+                    [[r["x0"], r["y0"], r["x1"], r["y1"]] for r in rows]
+                )
+                scores = np.array([r["score"] for r in rows])
+                texts = [r["text"] for r in rows]
+                bids = np.array([r["block_id"] for r in rows])
+                quads = np.stack([rect_to_quad(b, angle) for b in boxes])
+                text, ids = assemble_quad_text(
+                    pages_a, quads, scores, texts, bids
+                )
+                urls.append(rows[0]["url"])
+                texts_out.append(text)
+                n_blocks.append(len(ids))
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "extracted_text": texts_out,
+                    "n_blocks": n_blocks,
+                }
+            )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.mapInPandas(
+        rotated_fn,
+        schema="url string, extracted_text string, n_blocks long",
+    )
+
+
 def q_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCR branch: render text → strip tensor → conv+CTC decode → text."""
     import numpy as np
@@ -752,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dom_nodes": q_dom_nodes,
         "nodes_profile": q_nodes_profile,
         "extract_pdf": q_extract_pdf,
+        "extract_pdf_rotated": q_extract_pdf_rotated,
         "ocr_roundtrip": q_ocr_roundtrip,
         "ocr_noisy": q_ocr_noisy,
         "media_features": q_media_features,
@@ -824,6 +879,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "extract_pdf": f"""
+            SELECT 'pdf://doc-' || CAST(doc_id AS VARCHAR) AS url,
+                   {_pdf_expected_sql()} AS extracted_text,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 6 ELSE 3 END
+                        AS BIGINT) AS n_blocks
+            FROM documents
+        """,
+        "extract_pdf_rotated": f"""
             SELECT 'pdf://doc-' || CAST(doc_id AS VARCHAR) AS url,
                    {_pdf_expected_sql()} AS extracted_text,
                    CAST(CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 6 ELSE 3 END

@@ -33,7 +33,8 @@ def main() -> None:
             "extract_html,extract_full,dom_nodes,extract_pdf,ocr_roundtrip,"
             "dedup_exact,dedup_minhash,dedup_lsh,text_quality,text_langid,"
             "sim_topk,rel_pricing_summary,rel_nation_revenue,events_windowed,"
-            "events_sessions,union_branches,sim_ivf,text_repetition,media_features"
+            "events_sessions,union_branches,sim_ivf,text_repetition,media_features,"
+            "ocr_noisy,dedup_verified,extract_pdf_rotated"
         ),
     )
     ap.add_argument("--reps", type=int, default=2)

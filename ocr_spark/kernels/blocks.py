@@ -257,6 +257,97 @@ def nms_merge_quads(
     return mq[keep_sorted], ms[keep_sorted], out_members
 
 
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull of points [N, 2], CCW order.
+    Deterministic (lexicographic sort, strict turns)."""
+    pts = np.unique(points.astype(np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while (
+                len(out) >= 2
+                and np.cross(out[-1] - out[-2], p - out[-2]) <= 0
+            ):
+                out.pop()
+            out.append(p)
+        return out[:-1]
+
+    return np.array(half(list(pts)) + half(list(pts[::-1])))
+
+
+def min_area_rect(points: np.ndarray) -> np.ndarray:
+    """Minimum-area enclosing rotated rectangle of points [N, 2] → quad
+    [4, 2] (canonicalized with ``sort_quad``).
+
+    Rotating calipers over the convex hull: the minimal rectangle has one
+    side collinear with a hull edge, so trying each edge's frame and
+    taking the smallest bounding box is exact. This is the capability of
+    the reference's ``earn_rect_angle`` fixture-prep step
+    (``/root/reference/DataPreprocess/PrepareForGRB.py:235-307``, built on
+    shapely's minimum_rotated_rectangle) re-derived without dependencies.
+    Ties break on the first minimal edge — deterministic.
+    """
+    hull = convex_hull(points)
+    if len(hull) == 1:
+        return np.repeat(hull, 4, axis=0)
+    if len(hull) == 2:
+        return np.array([hull[0], hull[1], hull[1], hull[0]])
+    best_area = np.inf
+    best_quad: np.ndarray | None = None
+    m = len(hull)
+    for i in range(m):
+        edge = hull[(i + 1) % m] - hull[i]
+        norm = np.linalg.norm(edge)
+        if norm == 0:
+            continue
+        ux = edge / norm
+        uy = np.array([-ux[1], ux[0]])
+        proj_x = hull @ ux
+        proj_y = hull @ uy
+        w = proj_x.max() - proj_x.min()
+        h = proj_y.max() - proj_y.min()
+        area = w * h
+        if area < best_area - 1e-12:
+            best_area = area
+            x0, x1 = proj_x.min(), proj_x.max()
+            y0, y1 = proj_y.min(), proj_y.max()
+            best_quad = np.array(
+                [
+                    x0 * ux + y0 * uy,
+                    x1 * ux + y0 * uy,
+                    x1 * ux + y1 * uy,
+                    x0 * ux + y1 * uy,
+                ]
+            )
+    assert best_quad is not None
+    return sort_quad(best_quad)
+
+
+def shrink_quad(quad: np.ndarray, ratio: float = 0.3) -> np.ndarray:
+    """EAST-style inward shrink: each vertex moves along its two adjacent
+    edges by ``ratio · r_i`` where ``r_i`` is the shorter adjacent edge
+    length — the label-geometry step the reference builds score-map
+    interiors with (``/root/reference/DataPreprocess/PrepareForGRB.py:5-69``
+    semantics, deterministic single-pass form)."""
+    q = quad.astype(np.float64)
+    n = len(q)
+    lens = np.array(
+        [np.linalg.norm(q[(i + 1) % n] - q[i]) for i in range(n)]
+    )
+    r = np.array([min(lens[i - 1], lens[i]) for i in range(n)])
+    out = q.copy()
+    for i in range(n):
+        for j in (i - 1, i + 1):
+            d = q[j % n] - q[i]
+            norm = np.linalg.norm(d)
+            if norm > 0:
+                out[i] = out[i] + ratio * r[i] * d / norm
+    return out
+
+
 def quad_aabb(quads: np.ndarray) -> np.ndarray:
     """Axis-aligned hulls [N, 4] of quads [N, 4, 2] — the projection that
     lets rotated layouts reuse ``xy_cut_order`` for reading order."""
@@ -342,6 +433,36 @@ def xy_cut_order(boxes: np.ndarray, min_gap: float = 1.0) -> np.ndarray:
 
     recurse(np.arange(n, dtype=np.int64))
     return np.array(out, dtype=np.int64)
+
+
+def assemble_quad_text(
+    pages: np.ndarray,
+    quads: np.ndarray,
+    scores: np.ndarray,
+    texts: list[str],
+    block_ids: np.ndarray,
+    merge_thres: float = 0.3,
+    separator: str = "\n\n",
+) -> tuple[str, list[int]]:
+    """Rotated-domain twin of ``assemble_pdf_text``: quads [N, 4, 2] →
+    (extracted_text, block_ids in reading order). Reading order comes from
+    XY-cut over the quads' axis-aligned hulls; suppression and merging use
+    TRUE polygon IoU, so parallel rotated lines that AABB overlap do not
+    falsely merge."""
+    out_texts: list[str] = []
+    out_ids: list[int] = []
+    for page in np.unique(pages):
+        sel = np.flatnonzero(pages == page)
+        order = xy_cut_order(quad_aabb(quads[sel]))
+        ordered = sel[order]
+        _, _, members = nms_merge_quads(
+            quads[ordered], scores[ordered], thres=merge_thres
+        )
+        for m in members:
+            src = ordered[m[0]]
+            out_texts.append(texts[src])
+            out_ids.append(int(block_ids[src]))
+    return separator.join(out_texts), out_ids
 
 
 def assemble_pdf_text(

@@ -40,6 +40,19 @@ _WORDS = _WORDS_T.format(col="text")
 MAX_LSH_BUCKET = 1024
 
 
+def ensure_min_partitions(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the input
+    arrives under-partitioned (a small-file parquet scan can be a single
+    partition, serializing the expression-heavy hashing passes onto one
+    core — measured 5× on the bench corpus). At real scale the scan
+    already has ≥ defaultParallelism partitions and this is a no-op, so
+    no shuffle is added where it would hurt."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(n: int = 3, col: str = "text") -> str:
     """SQL expression producing the distinct word n-gram set of ``col``.
 
@@ -85,7 +98,9 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 4, shingle_n: int = 3) -
     signature would re-tokenize the document k times (measured 4-8× slower
     at k=8).
     """
-    shingled = docs.select("doc_id", F.expr(shingles(shingle_n)).alias("_sh"))
+    shingled = ensure_min_partitions(docs).select(
+        "doc_id", F.expr(shingles(shingle_n)).alias("_sh")
+    )
     cols = [
         F.expr(f"array_min(transform(_sh, s -> md5(concat(s, '#{i}'))))").alias(
             f"sig_{i}"
@@ -109,7 +124,11 @@ def lsh_candidate_pairs(
     distinct, a < b.
     """
     k = n_bands * rows_per_band
-    sigs = minhash_signatures(docs, n_hashes=k, shingle_n=shingle_n)
+    # persist the signature projection BEFORE banding: Catalyst collapses
+    # projections, so without a materialization barrier each band-bucket
+    # md5 inlines its two signature expressions and the shingle+min-hash
+    # HOFs are re-evaluated per band (measured 4× slower at sf0.1)
+    sigs = minhash_signatures(docs, n_hashes=k, shingle_n=shingle_n).persist()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -165,6 +184,7 @@ def lsh_candidate_pairs(
         return pairs.localCheckpoint(eager=True)
     finally:
         bands.unpersist()
+        sigs.unpersist()
 
 
 def verify_pairs(
@@ -187,7 +207,9 @@ def verify_pairs(
     shingle projection (doc_id, sh) — shuffle keys are doc ids, text
     itself never moves. Returns (doc_id_a, doc_id_b, jaccard), 6 dp.
     """
-    sh = docs.select("doc_id", F.expr(shingles(shingle_n)).alias("sh"))
+    sh = ensure_min_partitions(docs).select(
+        "doc_id", F.expr(shingles(shingle_n)).alias("sh")
+    )
     a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "doc_id_a").join(b, "doc_id_b")
@@ -254,7 +276,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
     oracle). Near-duplicate query:
     ``bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) <= k``.
     """
-    toks = docs.select(
+    toks = ensure_min_partitions(docs).select(
         "doc_id",
         F.expr(f"transform({_WORDS}, x -> concat(md5(x), md5(concat(x, '#'))))").alias(
             "th"

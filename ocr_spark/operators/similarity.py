@@ -131,26 +131,59 @@ def lsh_topk(
     n_planes: int = 6,
     seed: int = 42,
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket(s).
 
-    Physical plan: equi-join on bucket (broadcast of the bucketed query
-    side), then the same windowed rank as the exact path. Recall < 1 by
-    construction; at scale you raise recall with multi-probe or more
-    tables, keeping the join equi-keyed either way.
+    Physical plan: equi-join on (table, bucket) (broadcast of the bucketed
+    query side), then the same windowed rank as the exact path. Recall < 1
+    by construction; ``n_tables`` is the recall knob — L independent
+    hyperplane tables (seeds ``seed + 1000·t``) whose candidate sets
+    union, keeping the join equi-keyed. Measured on the driver corpus
+    (weakly clustered embeddings, the ANN-hostile case): recall@5 0.06 at
+    (6 planes, 1 table) → 0.67 at (4 planes, 8 tables) with candidate
+    sets still <half the corpus; strongly clustered corpora prune far
+    better. Duplicate candidate pairs across tables are deduped AFTER
+    scoring — cos is deterministic per pair, so ``distinct()`` on the
+    scored row is exact and avoids re-fetching vectors.
     """
-    cand = with_lsh_bucket(embeddings, dim, n_planes, seed, vec_col)
-    cand = _with_norm(cand, vec_col).select(
-        "bucket", "vec_id", F.col(vec_col).alias("_cv"), F.col("_norm").alias("_cn")
+
+    def bucketed(df: DataFrame, id_select) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    F.expr(
+                        _hyperplanes_expr(dim, n_planes, seed + 1000 * t, vec_col)
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        out = df.withColumn("_tb", F.explode(tables)).select(
+            F.col("_tb.tbl").alias("tbl"),
+            F.col("_tb.bucket").alias("bucket"),
+            *id_select,
+        )
+        return out
+
+    cand = _with_norm(embeddings, vec_col)
+    cand = bucketed(
+        cand,
+        ["vec_id", F.col(vec_col).alias("_cv"), F.col("_norm").alias("_cn")],
     )
-    q = with_lsh_bucket(queries, dim, n_planes, seed, vec_col)
-    q = _with_norm(q, vec_col).select(
-        "bucket", "query_id", F.col(vec_col).alias("_qv"), F.col("_norm").alias("_qn")
+    q = _with_norm(queries, vec_col)
+    q = bucketed(
+        q,
+        ["query_id", F.col(vec_col).alias("_qv"), F.col("_norm").alias("_qn")],
     )
-    paired = cand.join(F.broadcast(q), "bucket").filter(
+    paired = cand.join(F.broadcast(q), ["tbl", "bucket"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    scored = paired.select("query_id", "vec_id", F.round(_cosine(), 6).alias("cos"))
+    scored = paired.select(
+        "query_id", "vec_id", F.round(_cosine(), 6).alias("cos")
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k

@@ -99,14 +99,18 @@ print(json.dumps({"cpus": cpus, "docs": len(rows), "rates": rates,
 """
 
 
-def run_child(code: str, *args: str) -> dict:
+def run_child(code: str, *args: str, expect_json: bool = True) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", code, *args],
         capture_output=True, text=True, timeout=1800, cwd=REPO,
     )
+    if out.returncode != 0:
+        raise RuntimeError(f"child failed: {out.stderr[-2000:]}")
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
-        raise RuntimeError(f"child failed: {out.stderr[-2000:]}")
+        if expect_json:
+            raise RuntimeError(f"child printed no JSON: {out.stderr[-2000:]}")
+        return {}
     return json.loads(lines[-1])
 
 
@@ -120,7 +124,7 @@ def main() -> None:
     args = ap.parse_args()
 
     if not args.skip_setup or not os.path.isdir(PAGES_DIR):
-        run_child(MAKE_PAGES, str(args.replicate), PAGES_DIR)
+        run_child(MAKE_PAGES, str(args.replicate), PAGES_DIR, expect_json=False)
 
     lo = run_child(SPARK_LEVEL, str(args.n), PAGES_DIR, str(args.reps))
     hi = run_child(SPARK_LEVEL, str(args.n * 4), PAGES_DIR, str(args.reps))

@@ -1,11 +1,15 @@
 """Driver-environment simulation: the correctness driver builds its OWN
 plain SparkSession (none of our session.py tuning). The contract must hold
 under bare defaults — run a representative query slice + oracle compare in
-a subprocess with an untuned session."""
+a subprocess with an untuned session, AND under a non-UTC host timezone
+(``TZ=America/New_York``): timestamp-rendering queries pin the session to
+UTC themselves, so every rendered hour/mark/session string must still
+match the oracle's naive-UTC reading of the parquet micros."""
 
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
@@ -19,8 +23,9 @@ import __spark_entry__ as em
 import duckdb, math
 
 SF = "/root/testdata/sf0.001"
-NAMES = ["extract_html", "extract_full", "events_sessions", "text_quality",
-         "dedup_minhash", "sim_topk", "rel_rollup"]
+NAMES = ["extract_html", "extract_full", "events_sessions", "events_windowed",
+         "events_asof", "text_quality", "dedup_minhash", "sim_topk",
+         "rel_rollup"]
 
 con = duckdb.connect()
 for t in ["documents", "embeddings", "events", "lineitem", "orders", "customer", "nation"]:
@@ -54,12 +59,15 @@ spark.stop()
 
 
 def test_contract_under_plain_session():
+    env = dict(os.environ)
+    env["TZ"] = "America/New_York"  # non-UTC JVM default — the driver-host case
     out = subprocess.run(
         [sys.executable, "-c", CHILD],
         capture_output=True,
         text=True,
         timeout=900,
         cwd="/root/repo",
+        env=env,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     assert lines, f"child failed: {out.stderr[-1500:]}"

@@ -136,3 +136,56 @@ def test_rotated_layout_reading_order_fixture():
     order = xy_cut_order(quad_aabb(kept), min_gap=1.0)
     labels = [(rows[members[i][0]][0], rows[members[i][0]][1]) for i in order]
     assert labels == [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)]
+
+
+def test_convex_hull_square_with_interior_points():
+    from ocr_spark.kernels.blocks import convex_hull
+
+    pts = np.array(
+        [[0, 0], [4, 0], [4, 4], [0, 4], [2, 2], [1, 3], [3, 1]], dtype=float
+    )
+    hull = convex_hull(pts)
+    assert len(hull) == 4
+    assert abs(polygon_area(hull)) == pytest.approx(16.0)
+
+
+def test_min_area_rect_recovers_rotated_rectangle():
+    from ocr_spark.kernels.blocks import min_area_rect
+
+    for angle in (0.0, 0.3, -0.5, 1.1):
+        quad = rect_to_quad(np.array([2, 1, 10, 4.0]), angle=angle)
+        rec = min_area_rect(quad)
+        assert abs(polygon_area(rec)) == pytest.approx(8 * 3, abs=1e-6)
+        assert polygon_iou(rec, quad) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_min_area_rect_beats_aabb_on_rotated_points():
+    from ocr_spark.kernels.blocks import min_area_rect
+
+    quad = rect_to_quad(np.array([0, 0, 20, 2.0]), angle=np.pi / 4)
+    rec_area = abs(polygon_area(min_area_rect(quad)))
+    aabb = quad_aabb(quad[None])[0]
+    aabb_area = (aabb[2] - aabb[0]) * (aabb[3] - aabb[1])
+    assert rec_area == pytest.approx(40.0, abs=1e-6)
+    assert aabb_area > 2 * rec_area
+
+
+def test_shrink_quad_axis_aligned_known_result():
+    from ocr_spark.kernels.blocks import shrink_quad
+
+    q = rect_to_quad(np.array([0, 0, 10, 4.0]))  # edges 10 and 4, r_i = 4
+    s = shrink_quad(q, ratio=0.25)  # each vertex moves 1.0 along both edges
+    expect = np.array([[1, 1], [9, 1], [9, 3], [1, 3]], dtype=float)
+    np.testing.assert_allclose(s, expect, atol=1e-12)
+
+
+def test_shrink_quad_stays_inside_and_smaller():
+    from ocr_spark.kernels.blocks import shrink_quad
+
+    q = rect_to_quad(np.array([5, 5, 30, 12.0]), angle=0.4)
+    s = shrink_quad(q, ratio=0.3)
+    assert abs(polygon_area(s)) < abs(polygon_area(q))
+    inter = clip_polygon(s, q)
+    assert abs(polygon_area(inter)) == pytest.approx(
+        abs(polygon_area(s)), abs=1e-9
+    )
