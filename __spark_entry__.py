@@ -140,6 +140,20 @@ def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_full(pages)
 
 
+def q_extract_full_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused pipeline over NON-identity imagery: embedded lines are
+    bitmap-font renders, 2×-upscaled with seeded noise, decoded by the NCC
+    recognizer — the production path with nothing bit-identical between
+    renderer and recognizer. Same closed-form oracle as extract_full."""
+    from ocr_spark.operators.pipeline import extract_full
+    from ocr_spark.sources.pages import (
+        pages_with_noisy_font_images_from_documents,
+    )
+
+    pages = pages_with_noisy_font_images_from_documents(spark, sf_dir)
+    return extract_full(pages, recognizer="font")
+
+
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-span contract: spans tile the extracted text exactly (the
     north-star offset guarantee), checked corpus-wide via SQL-visible
@@ -801,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html": q_extract_html,
         "extract_html_multi": q_extract_html_multi,
         "extract_full": q_extract_full,
+        "extract_full_noisy": q_extract_full_noisy,
         "extract_spans": q_extract_spans,
         "extract_hosts": q_extract_hosts,
         "dom_nodes": q_dom_nodes,
@@ -856,6 +871,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "extract_full": f"""
+            SELECT {_URL_SQL} AS url,
+                   text || chr(10) || chr(10)
+                        || substr(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'),
+                                  1, 20)
+                        || chr(10) || chr(10)
+                        || 'line' || CAST(doc_id AS VARCHAR) AS extracted_text
+            FROM documents
+        """,
+        "extract_full_noisy": f"""
             SELECT {_URL_SQL} AS url,
                    text || chr(10) || chr(10)
                         || substr(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'),

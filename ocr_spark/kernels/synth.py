@@ -160,6 +160,49 @@ def wrap_html_with_images(
     return doc.encode("utf-8")
 
 
+def wrap_html_with_font_images(
+    main_text: str,
+    url: str,
+    line_texts: list[str],
+    seed_base: int,
+    scale: int = 2,
+    sigma: float = 0.1,
+) -> bytes:
+    """wrap_html + embedded text-line images rendered in the 5×7 bitmap
+    FONT atlas, bilinear-upscaled ``scale``× and perturbed with seeded
+    Gaussian noise — the non-identity fixture: what the page carries is
+    anti-aliased noisy glyph imagery, never a bit pattern the recognizer
+    has seen. The detect stage resamples it back through
+    ``normalize_strip`` (announced via ``data-height``) and recognition
+    must go through normalized cross-correlation (``kernels.font``)."""
+    import base64
+
+    import numpy as np
+
+    from ocr_spark.kernels.font import GLYPH_H, render_line_font
+    from ocr_spark.kernels.ocr import bilinear_resample
+
+    doc = wrap_html(main_text, url).decode("utf-8")
+    imgs = []
+    for idx, t in enumerate(line_texts):
+        strip, width = render_line_font(t)
+        content = strip[:, :width]
+        up = bilinear_resample(
+            content, GLYPH_H * scale, width * scale
+        )
+        rng = np.random.default_rng(seed_base * 31 + idx)
+        noisy = np.clip(up + rng.normal(0.0, sigma, up.shape), 0.0, 1.0)
+        payload = base64.b64encode(
+            (noisy * 255).astype(np.uint8).tobytes()
+        ).decode("ascii")
+        imgs.append(
+            f'<img class="embedded-line" data-width="{width * scale}" '
+            f'data-height="{GLYPH_H * scale}" data-strip="{payload}" alt="">'
+        )
+    doc = doc.replace("</article>", "".join(imgs) + "</article>", 1)
+    return doc.encode("utf-8")
+
+
 def warc_ts_for_doc(doc_id: int) -> int:
     """Deterministic epoch-seconds timestamp spread over ≥3 crawl days."""
     base = 1704067200  # 2024-01-01T00:00:00Z

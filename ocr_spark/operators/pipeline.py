@@ -158,41 +158,50 @@ def _extract_and_detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
-def _recognize_mixed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Recognition stage of the fused pipeline: conv+CTC on 'line' rows
+def _recognize_mixed(recognizer: str = "conv"):
+    """Recognition stage of the fused pipeline: decode 'line' rows
     (batched across all documents in the Arrow batch — the RECOG_BATCH
     discipline), 'html' rows pass through untouched. Strips are dropped
-    here, before the shuffle."""
-    from ocr_spark.kernels.ocr import recognize_lines
+    here, before the shuffle. ``recognizer``: "conv" = the code-glyph
+    matched filter (``kernels.ocr``), "font" = the bitmap-atlas NCC
+    recognizer (``kernels.font``) for anti-aliased / noisy imagery."""
 
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        texts = pdf["text"].to_numpy(dtype=object, copy=True)
-        mask = (pdf["kind"] == "line").to_numpy()
-        if mask.any():
-            strips = np.stack(
-                [
-                    np.asarray(s, dtype=np.float32).reshape(
-                        LINE_HEIGHT, MAX_LINE_WIDTH
-                    )
-                    for s in pdf["strip"][mask]
-                ]
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if recognizer == "font":
+            from ocr_spark.kernels.font import recognize_lines_font as rec
+        else:
+            from ocr_spark.kernels.ocr import recognize_lines as rec
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf["text"].to_numpy(dtype=object, copy=True)
+            mask = (pdf["kind"] == "line").to_numpy()
+            if mask.any():
+                strips = np.stack(
+                    [
+                        np.asarray(s, dtype=np.float32).reshape(
+                            LINE_HEIGHT, MAX_LINE_WIDTH
+                        )
+                        for s in pdf["strip"][mask]
+                    ]
+                )
+                texts[mask] = rec(
+                    strips, pdf["width"][mask].to_numpy(np.int64)
+                )
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "kind": pdf["kind"],
+                    "line_id": pdf["line_id"],
+                    "text": texts,
+                }
             )
-            texts[mask] = recognize_lines(
-                strips, pdf["width"][mask].to_numpy(np.int64)
-            )
-        yield pd.DataFrame(
-            {
-                "url": pdf["url"],
-                "kind": pdf["kind"],
-                "line_id": pdf["line_id"],
-                "text": texts,
-            }
-        )
+
+    return fn
 
 
-def extract_full(pages: DataFrame) -> DataFrame:
+def extract_full(pages: DataFrame, recognizer: str = "conv") -> DataFrame:
     """Complete extraction: HTML text + recognized embedded lines, merged.
 
     Output (url, extracted_text): html blocks first (document order), then
@@ -206,7 +215,8 @@ def extract_full(pages: DataFrame) -> DataFrame:
         _extract_and_detect, schema=_FUSED_SCHEMA
     )
     rec = fused.mapInPandas(
-        _recognize_mixed, schema="url string, kind string, line_id int, text string"
+        _recognize_mixed(recognizer),
+        schema="url string, kind string, line_id int, text string",
     )
     # JVM-side reading-order assembly: 'html' sorts before 'line', lines
     # sort by line_id; empty html blocks drop out of the join.

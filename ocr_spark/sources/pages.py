@@ -126,6 +126,54 @@ def pages_with_images_from_documents(
     return docs.mapInPandas(fn, schema=PAGES_SCHEMA)
 
 
+def pages_with_noisy_font_images_from_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pages embedding NON-identity line imagery: the same two line texts
+    as ``pages_with_images_from_documents`` but rendered in the bitmap
+    FONT atlas at 2× with seeded noise (``wrap_html_with_font_images``) —
+    the strips that reach recognition are anti-aliased and noisy, so only
+    the NCC recognizer decodes them. Output stays SQL-reconstructible."""
+    import re as _re
+
+    from ocr_spark.kernels.synth import wrap_html_with_font_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, tss, htmls = [], [], []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                url = url_for_doc(int(doc_id), str(source))
+                lines = [
+                    _re.sub(r"[^0-9a-zA-Z]", "", str(text))[:20],
+                    f"line{int(doc_id)}",
+                ]
+                urls.append(url)
+                tss.append(pd.Timestamp(warc_ts_for_doc(int(doc_id)), unit="s"))
+                htmls.append(
+                    wrap_html_with_font_images(
+                        text, url, lines, seed_base=int(doc_id)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "warc_ts": tss,
+                    "html": htmls,
+                    "text": pdf["text"],
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return docs.mapInPandas(fn, schema=PAGES_SCHEMA)
+
+
 def expected_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The byte-identical expected output for pages_from_documents(n=1)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

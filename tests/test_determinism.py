@@ -16,6 +16,7 @@ SF = "/root/testdata/sf0.001"
 NAMES = [
     "extract_html",
     "extract_full",
+    "extract_full_noisy",
     "extract_pdf",
     "ocr_roundtrip",
     "ocr_noisy",
