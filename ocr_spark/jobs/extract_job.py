@@ -41,6 +41,11 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # wide-blob scan sizing: html pages run ~10 KB+, so the default
+        # 4096-row columnar batches need >40 MB contiguous per column and
+        # the vectorized reader aborts under memory pressure; 512 rows
+        # bounds the reservation (~5 MB) with no throughput cost on blobs
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )

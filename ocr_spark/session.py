@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # --- scan sizing: at 100 TB, 128 MB splits keep ~800k tasks, fine for AQE
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # wide-blob columnar batches: html blobs at ~10 KB/row make the
+        # default 4096-row reader batch reserve tens of MB contiguously per
+        # column; 512 bounds it (observed OOM-abort at 320k pages otherwise)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         # --- broadcast joins for dimension tables
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
