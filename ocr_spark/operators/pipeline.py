@@ -64,9 +64,11 @@ def _lines_of_doc(html_text: str):
     for i, m in enumerate(_IMG_RE.finditer(html_text)):
         width = int(m.group(1))
         height = int(m.group(2)) if m.group(2) else LINE_HEIGHT
-        raw = np.frombuffer(
-            base64.b64decode(m.group(3)), dtype=np.uint8
-        ).astype(np.float32) / 255.0
+        try:
+            payload = base64.b64decode(m.group(3))
+        except Exception:
+            continue  # bad padding/length: skip the image, never the task
+        raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 255.0
         if height == LINE_HEIGHT:
             if raw.size != LINE_HEIGHT * MAX_LINE_WIDTH:
                 continue  # malformed payload: skip, never crash

@@ -90,3 +90,40 @@ def test_spans_cover_extracted_text(spark):
         total = sum(s.end - s.start for s in r.spans)
         seps = max(len(r.spans) - 1, 0) * 2  # "\n\n"
         assert total + seps == len(r.extracted_text)
+
+
+def _img_rows():
+    """Malformed embedded-line images through the fused pipeline: bad
+    base64, truncated payloads, inconsistent data-height, zero dims —
+    detection must skip each quietly and the html branch must survive."""
+    good_p = "<p>real content words here enough to score well over the threshold</p>"
+    return [
+        ("i:badb64", TS, bytearray(
+            f'<body><img data-width="24" data-strip="!!!notbase64!!!">{good_p}</body>'.encode()
+        ), "", "en"),
+        ("i:short", TS, bytearray(
+            f'<body><img data-width="384" data-strip="AAAA">{good_p}</body>'.encode()
+        ), "", "en"),
+        ("i:badheight", TS, bytearray(
+            f'<body><img data-width="24" data-height="7" data-strip="{"A"*100}">{good_p}</body>'.encode()
+        ), "", "en"),
+        ("i:zerowidth", TS, bytearray(
+            f'<body><img data-width="0" data-height="16" data-strip="{"A"*128}">{good_p}</body>'.encode()
+        ), "", "en"),
+        # matches the strip regex but has invalid base64 padding (len 5):
+        # the decode itself must be guarded, not just the size checks
+        ("i:badpad", TS, bytearray(
+            f'<body><img data-width="24" data-strip="AAAAA">{good_p}</body>'.encode()
+        ), "", "en"),
+    ]
+
+
+def test_fused_pipeline_survives_malformed_images(spark):
+    from ocr_spark.operators.pipeline import extract_full
+
+    pages = spark.createDataFrame(_img_rows(), PAGES_SCHEMA)
+    for recognizer in ("conv", "font"):
+        out = {r.url: r.extracted_text for r in extract_full(pages, recognizer).collect()}
+        assert len(out) == 5
+        for url, text in out.items():
+            assert "real content words" in text, (recognizer, url, text)
