@@ -536,6 +536,16 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup tier: multi-table LSH candidates → exact
+    cosine ≥ 0.4 (the driver embeddings are weakly clustered, so the demo
+    threshold sits where pairs exist; a real corpus runs ≥ 0.9). Oracle
+    reproduces the bucketing (literal hyperplanes) and the verify stage."""
+    from ocr_spark.operators.similarity import cosine_near_pairs
+
+    return cosine_near_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
 def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.similarity import cosine_topk, label_knn_accuracy
 
@@ -829,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh": q_dedup_lsh,
         "dedup_verified": q_dedup_verified,
+        "dedup_embedding": q_dedup_embedding,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_token_stats": q_text_token_stats,
@@ -1286,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _simhash_oracle_sql(),
         "sim_lsh": _sim_lsh_oracle_sql(),
+        "dedup_embedding": _dedup_embedding_oracle_sql(),
         "nodes_profile": _nodes_profile_oracle_sql(),
         "text_compression": """
             SELECT doc_id,
@@ -1420,6 +1432,43 @@ def _nodes_profile_oracle_sql() -> str:
                round(CAST(n_neg AS DOUBLE) / n_nodes, 6) AS neg_rate,
                CAST(total_chars AS BIGINT) AS total_chars
         FROM tags
+    """
+
+
+def _dedup_embedding_oracle_sql() -> str:
+    """DuckDB twin of ``cosine_near_pairs`` at the contract parameters
+    (threshold 0.4, 4 planes × 2 tables, seed 42): same literal hyperplane
+    tables, same bucket self-join, same exact-cosine verify."""
+    from ocr_spark.operators.similarity import hyperplane_components
+
+    def bucket(seed: int) -> str:
+        planes = hyperplane_components(dim=64, n_planes=4, seed=seed)
+        return " + ".join(
+            f"CASE WHEN list_dot_product(v, [{', '.join(repr(c) for c in comps)}])"
+            f" > 0 THEN {1 << p} ELSE 0 END"
+            for p, comps in enumerate(planes)
+        )
+
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (
+          SELECT vec_id, v, 0 AS tbl, CAST({bucket(42)} AS BIGINT) AS bucket
+          FROM e
+          UNION ALL
+          SELECT vec_id, v, 1, CAST({bucket(1042)} AS BIGINT) FROM e
+        ),
+        p AS (
+          SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b,
+                 round(list_dot_product(x.v, y.v)
+                       / nullif(sqrt(list_dot_product(x.v, x.v))
+                                * sqrt(list_dot_product(y.v, y.v)), 0.0), 6)
+                     AS cos
+          FROM b x JOIN b y
+            ON x.tbl = y.tbl AND x.bucket = y.bucket
+           AND x.vec_id < y.vec_id
+        )
+        SELECT * FROM p WHERE cos >= 0.4
     """
 
 

@@ -190,6 +190,73 @@ def lsh_topk(
     )
 
 
+def cosine_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    seed: int = 42,
+    n_tables: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup tier of
+    a training-data pipeline (near-identical documents whose TEXT differs
+    but whose embeddings agree).
+
+    Scale shape: candidate pairs come from a multi-table hyperplane-LSH
+    self-join on (table, bucket) — never a global cross product — then the
+    exact cosine verifies each candidate (the same two-stage
+    recall/precision structure as ``lsh_candidate_pairs`` →
+    ``verify_pairs`` in the text domain). Returns (vec_id_a, vec_id_b,
+    cos) with a < b, cos ≥ threshold (6 dp), deduped across tables.
+    """
+    withn = _with_norm(embeddings, vec_col)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.expr(
+                    _hyperplanes_expr(
+                        _dim_of(embeddings, vec_col), n_planes, seed + 1000 * t, vec_col
+                    )
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    b = withn.withColumn("_tb", F.explode(tables)).select(
+        F.col("_tb.tbl").alias("tbl"),
+        F.col("_tb.bucket").alias("bucket"),
+        "vec_id",
+        F.col(vec_col).alias("_v"),
+        F.col("_norm").alias("_n"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    paired = x.join(y, ["tbl", "bucket"]).filter(
+        F.col("x.vec_id") < F.col("y.vec_id")
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="x._v", b="y._v"))
+        / F.expr("nullif(x._n * y._n, 0.0)"),
+        6,
+    )
+    return (
+        paired.select(
+            F.col("x.vec_id").alias("vec_id_a"),
+            F.col("y.vec_id").alias("vec_id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+        .distinct()
+    )
+
+
+def _dim_of(embeddings: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the schema's first row — driver-side
+    metadata only (one-row limit)."""
+    row = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+    return int(row[0].d) if row else 0
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 16,

@@ -93,3 +93,25 @@ def test_minhash_no_aggregation_shuffle(spark):
         plan = explain_str(q, "simple")
         assert "Exchange hashpartitioning" not in plan, plan
         assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_round2_query_plan_budgets(spark):
+    """Plan discipline for the round-2 queries: the noisy OCR and rotated
+    PDF paths are map-only after their fan-out repartition; the fused
+    noisy pipeline adds exactly one exchange (the url assembly) over its
+    source like extract_full does."""
+    assert count_exchanges(em.q_ocr_noisy(spark, SF)) == 1  # fan-out only
+    assert count_exchanges(em.q_extract_pdf_rotated(spark, SF)) == 1
+    # fused noisy: source fan-out + one assembly groupBy
+    assert count_exchanges(em.q_extract_full_noisy(spark, SF)) == 2
+
+
+def test_dedup_embedding_join_is_bucketed(spark):
+    """The embedding near-dup self-join must be an equi-join on the
+    (table, bucket) key — no cartesian/broadcast-nested-loop anywhere."""
+    from ocr_spark.plans.inspect import explain_str
+
+    plan = explain_str(em.q_dedup_embedding(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
