@@ -34,7 +34,8 @@ def main() -> None:
             "dedup_exact,dedup_minhash,dedup_lsh,text_quality,text_langid,"
             "sim_topk,rel_pricing_summary,rel_nation_revenue,events_windowed,"
             "events_sessions,union_branches,sim_ivf,text_repetition,media_features,"
-            "ocr_noisy,dedup_verified,extract_pdf_rotated,extract_full_noisy"
+            "ocr_noisy,dedup_verified,extract_pdf_rotated,extract_full_noisy,"
+            "dedup_embedding"
         ),
     )
     ap.add_argument("--reps", type=int, default=2)

@@ -59,6 +59,48 @@ def stream_extract(
     return writer.start()
 
 
+def stream_extract_full(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    recognizer: str = "font",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental FUSED extraction (html blocks + embedded-image OCR) —
+    the streaming twin of ``operators.pipeline.extract_full``, one code
+    path for both modes.
+
+    Uses ``foreachBatch`` rather than a streaming aggregation: the fused
+    pipeline's only grouping is the per-url reading-order assembly, and a
+    page's rows are file-local by construction (one page = one input row),
+    so per-micro-batch grouping is exact and needs no watermark state.
+    Restart resumes from the checkpoint's source offsets; the per-batch
+    parquet append composes with the manifest/lineage sink for
+    exactly-once semantics at date granularity.
+    """
+    from ocr_spark.operators.pipeline import extract_full
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extract_full(batch_df, recognizer=recognizer).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    writer = (
+        pages.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_dedup_extract(
     spark: SparkSession,
     input_dir: str,

@@ -89,3 +89,38 @@ def test_stream_dedup_extract(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 60  # one row per canonical url, not 120
     assert got.select("url").distinct().count() == 60
+
+
+def test_stream_extract_full_matches_batch(spark, tmp_path):
+    """The fused streaming twin must equal batch extract_full exactly —
+    including the noisy font-rendered embedded-image recognition — and a
+    re-trigger with no new files must not duplicate output."""
+    from ocr_spark.operators.pipeline import extract_full
+    from ocr_spark.sources.pages import (
+        pages_with_noisy_font_images_from_documents,
+    )
+    from ocr_spark.streaming.extract_stream import stream_extract_full
+
+    inp = str(tmp_path / "in_full")
+    out = str(tmp_path / "out_full")
+    ckpt = str(tmp_path / "ckpt_full")
+    pages = pages_with_noisy_font_images_from_documents(spark, SF_DIR)
+    pages.write.parquet(inp)
+
+    q = stream_extract_full(spark, inp, out, ckpt, recognizer="font")
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    batch = extract_full(spark.read.parquet(inp), recognizer="font")
+    n = batch.count()
+    assert got.count() == n
+    same = (
+        got.withColumnRenamed("extracted_text", "s_text")
+        .join(batch, "url")
+        .filter(F.col("s_text") == F.col("extracted_text"))
+        .count()
+    )
+    assert same == n
+
+    q2 = stream_extract_full(spark, inp, out, ckpt, recognizer="font")
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == n
