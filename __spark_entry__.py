@@ -178,6 +178,25 @@ def q_extract_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(host.alias("host")).agg(F.count("*").alias("n_docs"))
 
 
+def q_curate_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-curation rollup — the keep/drop-this-host decision surface
+    of a web corpus pipeline: per host, document count, mean quality
+    score, and exact-duplicate ratio (1 − distinct contents / docs). One
+    partial-agg shuffle on the host key; quality is the shared
+    ``functions.quality_expr`` column expression."""
+    from ocr_spark.functions import quality_expr
+
+    docs = _docs(spark, sf_dir)
+    host = F.expr(_HOST_SQL)
+    return docs.groupBy(host.alias("host")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(quality_expr("text")), 6).alias("avg_quality"),
+        F.round(
+            F.lit(1.0) - F.countDistinct(F.md5("text")) / F.count("*"), 6
+        ).alias("dup_ratio"),
+    )
+
+
 def q_dom_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded DOM-node table: content <p> rollup across the corpus."""
     from ocr_spark.operators.nodes import tokenize_to_nodes
@@ -828,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_full_noisy": q_extract_full_noisy,
         "extract_spans": q_extract_spans,
         "extract_hosts": q_extract_hosts,
+        "curate_hosts": q_curate_hosts,
         "dom_nodes": q_dom_nodes,
         "nodes_profile": q_nodes_profile,
         "extract_pdf": q_extract_pdf,
@@ -907,6 +927,30 @@ def oracle_sql() -> dict[str, str]:
         "extract_hosts": f"""
             SELECT {_HOST_SQL} AS host, count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "curate_hosts": f"""
+            WITH t AS (
+              SELECT {_HOST_SQL} AS host, text,
+                     len({_DWORDS}) AS n_tokens,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+                     len(list_filter({_DWORDS},
+                         x -> x IN ('the','a','and','of','in','to','is'))) AS n_stop
+              FROM documents
+            ),
+            q AS (
+              SELECT host, text,
+                     round(least(n_tokens / 64.0, 1.0)
+                           * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+                           * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE)
+                                / greatest(n_tokens, 1) * 5.0, 1.0)), 6) AS quality
+              FROM t
+            )
+            SELECT host, count(*) AS n_docs,
+                   round(avg(quality), 6) AS avg_quality,
+                   round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                         / count(*), 6) AS dup_ratio
+            FROM q GROUP BY host
         """,
         "dom_nodes": """
             SELECT CAST(count(*) AS BIGINT) AS n_p_nodes,

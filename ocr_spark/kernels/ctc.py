@@ -64,6 +64,74 @@ def ctc_greedy_decode(logits: np.ndarray, seq_len: int | None = None) -> str:
     return decode_indices(collapsed)
 
 
+def ctc_beam_decode(
+    logits: np.ndarray,
+    seq_len: int | None = None,
+    beam_width: int = 8,
+) -> str:
+    """CTC prefix beam search over one line's logits ``[T, C]`` → text.
+
+    The published prefix-search decoder (Graves 2006 §7.5 / the standard
+    prefix-beam formulation): per prefix, track the probability of ending
+    in blank vs. ending in its last symbol, extend with every class, keep
+    the ``beam_width`` best prefixes by total probability. Sums
+    probability over ALL alignments of a labeling, which greedy cannot —
+    when the per-frame mass splits across alignments of the same string,
+    beam recovers the string greedy drops. Logits are softmax-normalized
+    per frame; ``merge_repeated`` semantics match the greedy decoder and
+    the reference (repeat emission requires an intervening blank).
+    Deterministic: ties break lexicographically on the prefix.
+    """
+    logits = np.asarray(logits, dtype=np.float64)
+    if logits.ndim != 2:
+        raise ValueError(f"expected [T, C] logits, got shape {logits.shape}")
+    if seq_len is not None:
+        logits = logits[:seq_len]
+    T, C = logits.shape
+    if T == 0:
+        return ""
+    # per-frame softmax (shift for stability)
+    z = logits - logits.max(axis=1, keepdims=True)
+    probs = np.exp(z)
+    probs /= probs.sum(axis=1, keepdims=True)
+
+    # beams: prefix tuple -> (p_blank, p_non_blank)
+    beams: dict[tuple[int, ...], tuple[float, float]] = {(): (1.0, 0.0)}
+    for t in range(T):
+        frame = probs[t]
+        nxt: dict[tuple[int, ...], list[float]] = {}
+
+        def add(prefix, pb, pnb):
+            cur = nxt.setdefault(prefix, [0.0, 0.0])
+            cur[0] += pb
+            cur[1] += pnb
+
+        for prefix, (pb, pnb) in beams.items():
+            total = pb + pnb
+            # extend with blank: prefix unchanged, now blank-terminated
+            add(prefix, total * frame[BLANK_INDEX], 0.0)
+            # repeat last symbol without blank: stays the same labeling
+            if prefix:
+                add(prefix, 0.0, pnb * frame[prefix[-1]])
+            for c in range(C):
+                if c == BLANK_INDEX:
+                    continue
+                p_c = frame[c]
+                if p_c < 1e-9:
+                    continue
+                if prefix and prefix[-1] == c:
+                    # extend same symbol: only from the blank-ended mass
+                    add(prefix + (c,), 0.0, pb * p_c)
+                else:
+                    add(prefix + (c,), 0.0, total * p_c)
+        ranked = sorted(
+            nxt.items(), key=lambda kv: (-(kv[1][0] + kv[1][1]), kv[0])
+        )[:beam_width]
+        beams = {k: (v[0], v[1]) for k, v in ranked}
+    best = max(beams.items(), key=lambda kv: (kv[1][0] + kv[1][1], kv[0]))[0]
+    return decode_indices(list(best))
+
+
 def ctc_greedy_decode_batch(
     logits_batch: np.ndarray, seq_lens: np.ndarray | None = None
 ) -> list[str]:

@@ -94,3 +94,54 @@ def test_decode_skips_negative_fill():
 def test_bad_shape_raises():
     with pytest.raises(ValueError):
         ctc_greedy_decode(np.zeros((2, 3, 4)))
+
+
+def test_beam_equals_greedy_on_separable_logits():
+    from ocr_spark.kernels.ctc import ctc_beam_decode, ctc_greedy_decode, encode_text
+    import numpy as np
+    from ocr_spark.config import BLANK_INDEX, NUM_CLASSES
+
+    idx = encode_text("Hi9")
+    T = 2 * len(idx) + 1
+    logits = np.full((T, NUM_CLASSES), -5.0)
+    for t in range(T):
+        if t % 2 == 0:
+            logits[t, BLANK_INDEX] = 5.0
+        else:
+            logits[t, idx[t // 2]] = 5.0
+    assert ctc_greedy_decode(logits) == "Hi9"
+    assert ctc_beam_decode(logits) == "Hi9"
+
+
+def test_beam_recovers_mass_split_across_alignments():
+    """The classic greedy failure: per-frame argmax is blank everywhere,
+    but the summed probability of the labeling 'a' over its alignments
+    exceeds the empty labeling — prefix beam search finds it."""
+    from ocr_spark.kernels.ctc import ctc_beam_decode, ctc_greedy_decode, encode_text
+    import numpy as np
+    from ocr_spark.config import BLANK_INDEX, NUM_CLASSES
+
+    a = encode_text("a")[0]
+    # two frames: P(blank)=0.4, P(a)=0.6 each... greedy argmax picks 'a','a'
+    # -> collapses to 'a'. Make it adversarial instead: P(blank)=0.52,
+    # P(a)=0.48 per frame. Greedy: blank,blank -> "".
+    # P("")=0.52*0.52=0.2704; P("a")=sum of alignments (a,-),(-,a),(a,a)
+    # = .48*.52+.52*.48+.48*.48 = 0.7296 -> beam must output "a".
+    logits = np.full((2, NUM_CLASSES), -30.0)
+    logits[:, BLANK_INDEX] = np.log(0.52)
+    logits[:, a] = np.log(0.48)
+    assert ctc_greedy_decode(logits) == ""
+    assert ctc_beam_decode(logits, beam_width=4) == "a"
+
+
+def test_beam_respects_repeat_blank_discipline():
+    """'aa' needs an intervening blank; without one the mass belongs to
+    'a' regardless of beam width."""
+    from ocr_spark.kernels.ctc import ctc_beam_decode, encode_text
+    import numpy as np
+    from ocr_spark.config import NUM_CLASSES
+
+    a = encode_text("a")[0]
+    logits = np.full((3, NUM_CLASSES), -30.0)
+    logits[:, a] = 5.0
+    assert ctc_beam_decode(logits) == "a"
