@@ -120,14 +120,24 @@ _F = {
 FONT_CHARS = "".join(c for c in CHAR_VECTOR if c in _F)
 
 
+_GLYPH_CACHE: dict[str, np.ndarray] = {}
+
+
 def glyph_bitmap(ch: str) -> np.ndarray:
-    """8×6 float cell for one character (7 font rows + gap row/column)."""
+    """8×6 float cell for one character (7 font rows + gap row/column).
+    Cached module-wide as a read-only array — renderers slice-copy it, and
+    the cache removes the per-char rebuild from the hot render path."""
+    cached = _GLYPH_CACHE.get(ch)
+    if cached is not None:
+        return cached
     cell = np.zeros((GLYPH_H, GLYPH_W), dtype=np.float32)
     rows = _F[ch]
     for r, row in enumerate(rows):
         for c, bit in enumerate(row):
             if bit == "#":
                 cell[r, c] = 1.0
+    cell.setflags(write=False)
+    _GLYPH_CACHE[ch] = cell
     return cell
 
 
