@@ -385,7 +385,11 @@ def q_ocr_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, strips, widths = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                s = re.sub(r"[^0-9a-zA-Z]", "", str(text))[:40]
+                # cap at 32 chars, not 40: every adjacent repeat inserts a
+                # blank gap cell, so n chars can occupy up to 2n-1 of the
+                # 64 glyph cells — 32 is the largest cap that can never
+                # truncate mid-text and break the exact oracle
+                s = re.sub(r"[^0-9a-zA-Z]", "", str(text))[:32]
                 strip, width = render_distorted_line(
                     s, scale=2.0, sigma=0.1, seed=int(doc_id)
                 )
@@ -979,7 +983,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ocr_noisy": """
             SELECT doc_id,
-                   substr(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'), 1, 40)
+                   substr(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'), 1, 32)
                        AS text_out
             FROM documents
         """,

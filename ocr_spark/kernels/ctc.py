@@ -128,7 +128,9 @@ def ctc_beam_decode(
             nxt.items(), key=lambda kv: (-(kv[1][0] + kv[1][1]), kv[0])
         )[:beam_width]
         beams = {k: (v[0], v[1]) for k, v in ranked}
-    best = max(beams.items(), key=lambda kv: (kv[1][0] + kv[1][1], kv[0]))[0]
+    # ties break toward the lexicographically SMALLEST prefix — the same
+    # order the per-step pruning uses
+    best = min(beams.items(), key=lambda kv: (-(kv[1][0] + kv[1][1]), kv[0]))[0]
     return decode_indices(list(best))
 
 

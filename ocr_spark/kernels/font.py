@@ -180,7 +180,10 @@ def render_line_font(
     Out-of-atlas characters are skipped (the vocabulary discipline,
     ``/root/reference/DataPreprocess/DataGen.py:28-45``); a blank cell is
     inserted between repeated characters so CTC merge_repeated cannot
-    collapse them; text longer than the 64-cell strip is truncated.
+    collapse them. Truncation is at 64 CELLS (chars + repeat-gap cells):
+    n characters occupy up to 2n−1 cells, so callers needing exact
+    roundtrips must cap input at 32 chars (the all-repeats worst case) —
+    ``MAX_GLYPHS // 2`` — as the contract queries do.
     """
     chars = [c for c in text if c in _F]
     slots: list[str | None] = []
@@ -197,6 +200,32 @@ def render_line_font(
     return strip, width
 
 
+def distort_strip(
+    content: np.ndarray, scale: float, sigma: float, seed: int
+) -> np.ndarray:
+    """The ONE distortion pipeline — ``scale``× bilinear upscale then
+    seeded additive Gaussian noise, clipped to [0, 1] — shared by the
+    test renderer (``render_distorted_line``) and the HTML fixture
+    generator (``synth.wrap_html_with_font_images``) so their operating
+    points cannot drift apart. ``default_rng(seed)`` is a pure function
+    of its seed: no hidden RNG state.
+    """
+    from ocr_spark.kernels.ocr import bilinear_resample
+
+    if scale != 1.0:
+        content = bilinear_resample(
+            content,
+            round(content.shape[0] * scale),
+            round(content.shape[1] * scale),
+        )
+    if sigma > 0:
+        rng = np.random.default_rng(seed)
+        content = np.clip(
+            content + rng.normal(0.0, sigma, content.shape), 0.0, 1.0
+        ).astype(np.float32)
+    return content
+
+
 def render_distorted_line(
     text: str,
     scale: float = 2.0,
@@ -204,26 +233,16 @@ def render_distorted_line(
     seed: int = 0,
     pad_to: int = MAX_LINE_WIDTH,
 ) -> tuple[np.ndarray, int]:
-    """Non-identity rendering: glyph strip → ``scale``× bilinear upscale →
-    additive Gaussian noise (seeded, reproducible — ``default_rng(seed)``
-    carries no hidden state) → detector-side bilinear normalization back
-    to height 8. This is the fixture for the recognizer's robustness
-    claims: what reaches recognition is anti-aliased, noisy, and never
-    bit-identical to any template.
+    """Non-identity rendering: glyph strip → ``distort_strip`` (upscale +
+    seeded noise) → detector-side bilinear normalization back to height 8.
+    This is the fixture for the recognizer's robustness claims: what
+    reaches recognition is anti-aliased, noisy, and never bit-identical
+    to any template.
     """
-    from ocr_spark.kernels.ocr import bilinear_resample, normalize_strip
+    from ocr_spark.kernels.ocr import normalize_strip
 
     strip, width = render_line_font(text)
-    content = strip[:, :width]
-    if scale != 1.0:
-        content = bilinear_resample(
-            content, round(GLYPH_H * scale), round(width * scale)
-        )
-    if sigma > 0:
-        rng = np.random.default_rng(seed)
-        content = np.clip(
-            content + rng.normal(0.0, sigma, content.shape), 0.0, 1.0
-        ).astype(np.float32)
+    content = distort_strip(strip[:, :width], scale, sigma, seed)
     if content.shape[0] != GLYPH_H:
         return normalize_strip(content, pad_to=pad_to, mode="bilinear")
     out = np.zeros((GLYPH_H, pad_to), dtype=np.float32)

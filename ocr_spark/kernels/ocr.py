@@ -122,10 +122,14 @@ def bilinear_resample(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     x0 = np.floor(xs)
     wy = (ys - y0)[:, None]
     wx = (xs - x0)[None, :]
+    # clamp BOTH neighbor indices from the unclipped floor: clamping y1
+    # from the already-clipped y0 would blend the border row 75% toward
+    # the interior for sample points beyond the edge instead of
+    # edge-clamping (y0=-1 → y0i=0 must pair with y1i=0, not 1)
     y0i = np.clip(y0.astype(np.int64), 0, h - 1)
-    y1i = np.clip(y0i + 1, 0, h - 1)
+    y1i = np.clip(y0.astype(np.int64) + 1, 0, h - 1)
     x0i = np.clip(x0.astype(np.int64), 0, w - 1)
-    x1i = np.clip(x0i + 1, 0, w - 1)
+    x1i = np.clip(x0.astype(np.int64) + 1, 0, w - 1)
     top = img[y0i][:, x0i] * (1 - wx) + img[y0i][:, x1i] * wx
     bot = img[y1i][:, x0i] * (1 - wx) + img[y1i][:, x1i] * wx
     return (top * (1 - wy) + bot * wy).astype(np.float32)

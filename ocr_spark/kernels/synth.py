@@ -179,19 +179,15 @@ def wrap_html_with_font_images(
 
     import numpy as np
 
-    from ocr_spark.kernels.font import GLYPH_H, render_line_font
-    from ocr_spark.kernels.ocr import bilinear_resample
+    from ocr_spark.kernels.font import GLYPH_H, distort_strip, render_line_font
 
     doc = wrap_html(main_text, url).decode("utf-8")
     imgs = []
     for idx, t in enumerate(line_texts):
         strip, width = render_line_font(t)
-        content = strip[:, :width]
-        up = bilinear_resample(
-            content, GLYPH_H * scale, width * scale
+        noisy = distort_strip(
+            strip[:, :width], float(scale), sigma, seed_base * 31 + idx
         )
-        rng = np.random.default_rng(seed_base * 31 + idx)
-        noisy = np.clip(up + rng.normal(0.0, sigma, up.shape), 0.0, 1.0)
         payload = base64.b64encode(
             (noisy * 255).astype(np.uint8).tobytes()
         ).decode("ascii")

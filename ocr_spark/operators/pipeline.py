@@ -48,7 +48,7 @@ from ocr_spark.config import BLOCK_SEPARATOR, LINE_HEIGHT, MAX_LINE_WIDTH
 # ``/root/reference/Module/RRotateLayer.py:94-107``).
 _IMG_RE = re.compile(
     r'<img[^>]*?data-width="(\d+)"[^>]*?'
-    r'(?:data-height="(\d+)"[^>]*?)?data-strip="([A-Za-z0-9+/=]+)"'
+    r'(?:data-height="(\d+)"[^>]*?)?data-strip="([A-Za-z0-9+/=]*)"'
 )
 
 _LINES_SCHEMA = (
@@ -221,17 +221,23 @@ def extract_full(pages: DataFrame, recognizer: str = "conv") -> DataFrame:
         schema="url string, kind string, line_id int, text string",
     )
     # JVM-side reading-order assembly: 'html' sorts before 'line', lines
-    # sort by line_id; empty html blocks drop out of the join.
+    # sort by line_id. ONLY an empty html block drops out (matching the
+    # two-branch spelling's concat_ws-over-NULL semantics); an empty
+    # RECOGNIZED line keeps its slot — a detected region that decodes to
+    # nothing still separates its neighbors, and the extract_full oracles
+    # encode exactly that.
     assembled = rec.groupBy("url").agg(
         F.array_join(
-            F.filter(
-                F.transform(
+            F.transform(
+                F.filter(
                     F.array_sort(
                         F.collect_list(F.struct("kind", "line_id", "text"))
                     ),
-                    lambda s: s["text"],
+                    lambda s: ~(
+                        (s["kind"] == F.lit("html")) & (s["text"] == F.lit(""))
+                    ),
                 ),
-                lambda t: t != F.lit(""),
+                lambda s: s["text"],
             ),
             BLOCK_SEPARATOR,
         ).alias("extracted_text")

@@ -123,6 +123,38 @@ def with_lsh_bucket(
     )
 
 
+def _bucketed_tables(
+    df: DataFrame,
+    id_select: list,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    n_tables: int,
+    vec_col: str,
+) -> DataFrame:
+    """Explode each row into its ``n_tables`` (tbl, bucket) LSH codes —
+    the ONE spelling of the multi-table bucketing (table t uses seed
+    ``seed + 1000·t``), shared by the ANN search and the near-dup join so
+    the seed-offset convention can never diverge between them (or from
+    the oracles, which re-derive the same literal planes)."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.expr(
+                    _hyperplanes_expr(dim, n_planes, seed + 1000 * t, vec_col)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.withColumn("_tb", F.explode(tables)).select(
+        F.col("_tb.tbl").alias("tbl"),
+        F.col("_tb.bucket").alias("bucket"),
+        *id_select,
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -149,34 +181,15 @@ def lsh_topk(
     scored row is exact and avoids re-fetching vectors.
     """
 
-    def bucketed(df: DataFrame, id_select) -> DataFrame:
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    F.expr(
-                        _hyperplanes_expr(dim, n_planes, seed + 1000 * t, vec_col)
-                    ).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        out = df.withColumn("_tb", F.explode(tables)).select(
-            F.col("_tb.tbl").alias("tbl"),
-            F.col("_tb.bucket").alias("bucket"),
-            *id_select,
-        )
-        return out
-
-    cand = _with_norm(embeddings, vec_col)
-    cand = bucketed(
-        cand,
+    cand = _bucketed_tables(
+        _with_norm(embeddings, vec_col),
         ["vec_id", F.col(vec_col).alias("_cv"), F.col("_norm").alias("_cn")],
+        dim, n_planes, seed, n_tables, vec_col,
     )
-    q = _with_norm(queries, vec_col)
-    q = bucketed(
-        q,
+    q = _bucketed_tables(
+        _with_norm(queries, vec_col),
         ["query_id", F.col(vec_col).alias("_qv"), F.col("_norm").alias("_qn")],
+        dim, n_planes, seed, n_tables, vec_col,
     )
     paired = cand.join(F.broadcast(q), ["tbl", "bucket"]).filter(
         F.col("vec_id") != F.col("query_id")
@@ -209,26 +222,11 @@ def cosine_near_pairs(
     ``verify_pairs`` in the text domain). Returns (vec_id_a, vec_id_b,
     cos) with a < b, cos ≥ threshold (6 dp), deduped across tables.
     """
-    withn = _with_norm(embeddings, vec_col)
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                F.expr(
-                    _hyperplanes_expr(
-                        _dim_of(embeddings, vec_col), n_planes, seed + 1000 * t, vec_col
-                    )
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    b = withn.withColumn("_tb", F.explode(tables)).select(
-        F.col("_tb.tbl").alias("tbl"),
-        F.col("_tb.bucket").alias("bucket"),
-        "vec_id",
-        F.col(vec_col).alias("_v"),
-        F.col("_norm").alias("_n"),
+    dim = _dim_of(embeddings, vec_col)  # one driver-side probe, not per table
+    b = _bucketed_tables(
+        _with_norm(embeddings, vec_col),
+        ["vec_id", F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")],
+        dim, n_planes, seed, n_tables, vec_col,
     )
     x, y = b.alias("x"), b.alias("y")
     paired = x.join(y, ["tbl", "bucket"]).filter(

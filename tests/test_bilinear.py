@@ -57,3 +57,15 @@ def test_normalize_strip_geometry_contract(mode):
     out, w = normalize_strip(tall, mode=mode)
     assert out.shape == (8, 384)
     assert w == int(np.ceil(8 * 60 / 24))
+
+
+def test_upscale_border_edge_clamps():
+    """Sample points outside the source grid must edge-clamp: the first
+    output row/column of an upscale reproduces the border pixels instead
+    of blending toward the interior (regression: clamping the second
+    neighbor from the already-clipped first one)."""
+    img = np.array([[1.0, 1.0], [0.0, 0.0]])
+    out = bilinear_resample(img, 4, 2)
+    np.testing.assert_allclose(out[:, 0], [1.0, 0.75, 0.25, 0.0], atol=1e-12)
+    np.testing.assert_allclose(out[0], 1.0, atol=1e-12)
+    np.testing.assert_allclose(out[-1], 0.0, atol=1e-12)

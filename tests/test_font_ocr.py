@@ -76,8 +76,19 @@ def test_hard_regime_accuracy_floor():
 
 @settings(max_examples=40, deadline=None)
 @given(
-    st.text(alphabet=FONT_CHARS, min_size=1, max_size=40),
+    # 32 = MAX_GLYPHS // 2: the exact-roundtrip cap (adjacent repeats
+    # consume a gap cell each, so n chars need up to 2n-1 of 64 cells)
+    st.text(alphabet=FONT_CHARS, min_size=1, max_size=32),
     st.integers(min_value=0, max_value=10_000),
 )
 def test_property_noisy_roundtrip(text, seed):
     assert _roundtrip(text, scale=2.0, sigma=0.1, seed=seed) == text
+
+
+def test_all_repeats_at_cap_roundtrips_exactly():
+    """32 identical chars = 63 cells — the worst case that must still fit
+    the 64-cell strip and roundtrip exactly (33 would truncate)."""
+    assert _roundtrip("a" * 32) == "a" * 32
+    assert _roundtrip("a" * 32, scale=2.0, sigma=0.1, seed=7) == "a" * 32
+    # beyond the cap the renderer truncates at the cell level BY DESIGN
+    assert _roundtrip("a" * 33) == "a" * 32

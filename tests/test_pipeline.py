@@ -54,3 +54,42 @@ def test_pipeline_single_scan(spark):
     base = explain_str(pages, "simple").count("MapInPandas")
     plan = explain_str(extract_full(pages), "simple")
     assert plan.count("MapInPandas") == base + 2, plan
+
+
+def test_empty_recognized_line_keeps_its_slot(spark):
+    """A document whose text has no alphanumeric chars embeds a
+    zero-width line; it must decode to '' and KEEP its separator slot
+    (the extract_full oracles concatenate text||sep||''||sep||lineN), in
+    both the conv and font fixture/recognizer pairs."""
+    import datetime
+
+    from ocr_spark.kernels.synth import (
+        wrap_html_with_font_images,
+        wrap_html_with_images,
+    )
+    from ocr_spark.sources.pages import PAGES_SCHEMA
+
+    text = "¡¡¡ ··· ??? !!!"  # no [0-9a-zA-Z] at all
+    ts = datetime.datetime(2024, 1, 1)
+    conv_html = wrap_html_with_images(text, "u:conv", ["", "line7"], scales=[1, 1])
+    font_html = wrap_html_with_font_images(text, "u:font", ["", "line7"], seed_base=7)
+    pages = spark.createDataFrame(
+        [
+            ("u:conv", ts, bytearray(conv_html), text, "en"),
+            ("u:font", ts, bytearray(font_html), text, "en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    expected = text + "\n\n" + "" + "\n\n" + "line7"
+    conv_out = {
+        r.url: r.extracted_text
+        for r in extract_full(pages.filter(F.col("url") == "u:conv")).collect()
+    }
+    font_out = {
+        r.url: r.extracted_text
+        for r in extract_full(
+            pages.filter(F.col("url") == "u:font"), recognizer="font"
+        ).collect()
+    }
+    assert conv_out["u:conv"] == expected, repr(conv_out)
+    assert font_out["u:font"] == expected, repr(font_out)
