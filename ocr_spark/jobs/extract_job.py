@@ -4,9 +4,16 @@ Launch (the north-rule deployment shape — identical on a real cluster,
 only ``--master`` changes):
 
     zip -r /tmp/ocr_spark.zip ocr_spark
-    spark-submit --master local[32] --py-files /tmp/ocr_spark.zip \\
+    spark-submit --master local[32] --driver-memory 64g \\
+        --py-files /tmp/ocr_spark.zip \\
         ocr_spark/jobs/extract_job.py \\
         --input <pages parquet dir or sf_dir> --output <out_dir>
+
+Memory note: heap must be sized on the spark-submit COMMAND LINE
+(``--driver-memory`` in local mode, ``--executor-memory`` on a cluster) —
+builder-level ``spark.driver.memory`` is ignored once the launcher has
+started the JVM. The 1g local default OOMs around 10^6 pages of ~10 KB
+html blobs across 32 concurrent tasks; ~2 GB/core holds comfortably.
 
 Reads a pages table (or synthesizes one from a testdata sf dir when
 ``--input`` points at one), runs the fused extraction, writes the
