@@ -178,6 +178,23 @@ def q_extract_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(host.alias("host")).agg(F.count("*").alias("n_docs"))
 
 
+def q_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document extraction-confidence signal: the boilerplate ratio
+    (chrome char mass dropped / total block-node char mass). Hard-oracled:
+    every chrome node's text length is a closed form of the md5 url_key
+    (the same model as the nodes_profile oracle), so the ratio is exactly
+    SQL-reconstructible from the raw documents table."""
+    from ocr_spark.operators.extract_html import extract_pages
+    from ocr_spark.sources.pages import pages_from_documents
+
+    out = extract_pages(pages_from_documents(spark, sf_dir, n_paragraphs=1))
+    return out.select(
+        "url",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.round("boilerplate_ratio", 6).alias("boilerplate_ratio"),
+    )
+
+
 def q_curate_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-curation rollup — the keep/drop-this-host decision surface
     of a web corpus pipeline: per host, document count, mean quality
@@ -852,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "extract_hosts": q_extract_hosts,
         "curate_hosts": q_curate_hosts,
+        "extract_quality": q_extract_quality,
         "dom_nodes": q_dom_nodes,
         "nodes_profile": q_nodes_profile,
         "extract_pdf": q_extract_pdf,
@@ -1347,6 +1365,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_lsh": _sim_lsh_oracle_sql(),
         "dedup_embedding": _dedup_embedding_oracle_sql(),
         "nodes_profile": _nodes_profile_oracle_sql(),
+        "extract_quality": _extract_quality_oracle_sql(),
         "text_compression": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1517,6 +1536,41 @@ def _dedup_embedding_oracle_sql() -> str:
            AND x.vec_id < y.vec_id
         )
         SELECT * FROM p WHERE cos >= 0.4
+    """
+
+
+def _extract_quality_oracle_sql() -> str:
+    """DuckDB twin of the boilerplate-ratio signal: total chrome char mass
+    per page as a closed form of k = url_key(url) (the per-tag text-length
+    model shared with the nodes_profile oracle: h1 13+digits(k%13), three
+    constant divs 34+60+45, nav+sidebar <li> word lengths, sidebar title,
+    h4 17, footer p 56+digits(k%11)); kept mass is the content <p> =
+    n_chars."""
+    from ocr_spark.kernels.synth import _NAV_WORDS, _SIDEBAR_TITLES
+
+    k = f"CAST('0x' || substr(md5({_URL_SQL}), 1, 8) AS BIGINT)"
+    nav_lens = ", ".join(str(len(w)) for w in _NAV_WORDS)
+    side_lens = ", ".join(str(len(t)) for t in _SIDEBAR_TITLES)
+    return f"""
+        WITH d AS (
+          SELECT doc_id, n_chars, source, {k} AS k, {_URL_SQL} AS url
+          FROM documents
+        ),
+        per_doc AS (
+          SELECT url, n_chars,
+                 225
+                 + length(CAST(k % 13 AS VARCHAR))
+                 + length(CAST(k % 11 AS VARCHAR))
+                 + list_sum(list_transform(range(5 + k % 7),
+                     i -> [{nav_lens}][CAST((k + i) % 12 AS INTEGER) + 1]))
+                 + 2 * (4 + k % 4) * (28 + length(CAST(k % 97 AS VARCHAR)))
+                 + [{side_lens}][CAST(k % 5 AS INTEGER) + 1] AS chrome_chars
+          FROM d
+        )
+        SELECT url, CAST(1 AS BIGINT) AS n_blocks,
+               round(1.0 - CAST(n_chars AS DOUBLE)
+                     / (n_chars + chrome_chars), 6) AS boilerplate_ratio
+        FROM per_doc
     """
 
 

@@ -352,18 +352,23 @@ def score_nodes(
 
 def extract_main_text(
     html_bytes: bytes | str,
-) -> tuple[str, list[tuple[int, int]], int]:
+    with_stats: bool = False,
+):
     """Full per-document extraction: tokenize → score → threshold → assemble.
 
     Returns ``(text, spans, n_blocks)`` where ``spans`` are char offsets of
     each retained block inside the returned text (separator-aware), matching
     the output contract D12 (``/root/reference/test_img.py:127-132`` emits
     one ``coords,text`` row per retained box; we emit the joined text plus
-    per-block spans).
+    per-block spans). With ``with_stats=True`` a fourth element is appended:
+    ``(total_chars, kept_chars)`` — the char mass of ALL block nodes vs the
+    retained ones, from which the per-document boilerplate ratio derives
+    (an extraction-confidence signal the sink can carry at no extra parse
+    cost; both sums are over text already in memory).
     """
     records = tokenize_html(html_bytes)
     if not records:
-        return "", [], 0
+        return ("", [], 0, (0, 0)) if with_stats else ("", [], 0)
     scores = score_nodes(
         np.array([r["tag"] for r in records], dtype=object),
         np.array([r["text_len"] for r in records], dtype=np.int64),
@@ -425,4 +430,9 @@ def extract_main_text(
             cursor += len(BLOCK_SEPARATOR)
         spans.append((cursor, cursor + len(t)))
         cursor += len(t)
-    return BLOCK_SEPARATOR.join(texts), spans, len(texts)
+    result = (BLOCK_SEPARATOR.join(texts), spans, len(texts))
+    if with_stats:
+        total_chars = int(tl.sum())
+        kept_chars = int(tl[keep].sum())
+        return (*result, (total_chars, kept_chars))
+    return result

@@ -50,6 +50,10 @@ EXTRACTED_SCHEMA = T.StructType(
             ),
         ),
         T.StructField("n_blocks", T.IntegerType()),
+        # extraction-confidence signal: char mass dropped as boilerplate /
+        # total block-node char mass (unrounded; consumers round at the
+        # query layer so HALF_UP semantics match SQL oracles)
+        T.StructField("boilerplate_ratio", T.DoubleType()),
     ]
 )
 
@@ -59,12 +63,15 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     reference batches recognition in RECOG_BATCH chunks,
     ``/root/reference/test_img.py:97-116``)."""
     for pdf in batches:
-        texts, spans_col, n_blocks = [], [], []
+        texts, spans_col, n_blocks, bp_ratio = [], [], [], []
         for html in pdf["html"]:
-            text, spans, nb = extract_main_text(html)
+            text, spans, nb, (total, kept) = extract_main_text(
+                html, with_stats=True
+            )
             texts.append(text)
             spans_col.append([{"start": s, "end": e} for s, e in spans])
             n_blocks.append(nb)
+            bp_ratio.append(1.0 - kept / total if total > 0 else 0.0)
         yield pd.DataFrame(
             {
                 "url": pdf["url"],
@@ -73,6 +80,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "extracted_text": texts,
                 "spans": spans_col,
                 "n_blocks": n_blocks,
+                "boilerplate_ratio": bp_ratio,
             }
         )
 

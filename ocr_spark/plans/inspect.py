@@ -43,10 +43,32 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def _strip_cached_subtrees(text: str) -> str:
+    """Drop plan lines nested under an InMemoryRelation: the cached
+    relation's STORED build plan (including its original exchanges) is
+    printed inline, but the query reads the cache and executes none of it
+    — counting those exchanges would make plan assertions depend on
+    whether some other code cached a shared subtree."""
+    out: list[str] = []
+    skip_indent: int | None = None
+    for line in text.splitlines():
+        indent = len(line) - len(line.lstrip())
+        if skip_indent is not None:
+            if line.strip() and indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = indent
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan (AQE-planned
-    exchanges included; broadcast exchanges excluded)."""
-    text = explain_str(df, "simple")
+    """Number of shuffle exchanges the query would EXECUTE (AQE-planned
+    exchanges included; broadcast exchanges excluded; exchanges inside
+    cached InMemoryRelation build plans excluded)."""
+    text = _strip_cached_subtrees(explain_str(df, "simple"))
     return len(re.findall(r"Exchange (?!SinglePartition)(?:hash|range|RoundRobin)", text)) + len(
         re.findall(r"Exchange SinglePartition", text)
     )

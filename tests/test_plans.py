@@ -47,15 +47,17 @@ def test_column_pruning_textstats(spark):
 
 
 def test_flagship_single_exchange(spark):
-    """scan → repartition (explicit fan-out) → synth → extract: exactly one
-    exchange; the extraction itself must not introduce a shuffle."""
-    assert count_exchanges(em.q_extract_html(spark, SF)) == 1
+    """scan → repartition (explicit fan-out) → synth → extract: at most
+    one exchange — the extraction itself must not introduce a shuffle.
+    (≤, not ==: if another suite cached the shared pages subtree, the
+    fan-out lives inside the cache build and the query executes zero.)"""
+    assert count_exchanges(em.q_extract_html(spark, SF)) <= 1
 
 
 def test_pdf_colocated_zero_shuffle(spark):
     """The colocated PDF path must be shuffle-free after its explicit
     fan-out repartition."""
-    assert count_exchanges(em.q_extract_pdf(spark, SF)) == 1  # only fan-out
+    assert count_exchanges(em.q_extract_pdf(spark, SF)) <= 1  # only fan-out
 
 
 def test_dim_joins_broadcast(spark):
