@@ -68,6 +68,10 @@ def _lines_of_doc(html_text: str):
             payload = base64.b64decode(m.group(3))
         except Exception:
             continue  # bad padding/length: skip the image, never the task
+        if len(payload) == 0 and width != 0:
+            # declared nonzero width with no data = malformed, skip (an
+            # empty payload is legitimate ONLY for a zero-width line)
+            continue
         raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 255.0
         if height == LINE_HEIGHT:
             if raw.size != LINE_HEIGHT * MAX_LINE_WIDTH:

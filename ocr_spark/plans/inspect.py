@@ -43,6 +43,15 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def _tree_depth(line: str) -> int:
+    """Position where a plan line's node text starts. Spark's tree render
+    prefixes nodes with spaces plus ``+-`` connectors AND ``:`` / ``:-``
+    branch-continuation marks (non-last join children), so leading-SPACE
+    count alone does not grow with depth inside a ``:`` branch — the full
+    connector-prefix length does (3 chars per level in both styles)."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
 def _strip_cached_subtrees(text: str) -> str:
     """Drop plan lines nested under an InMemoryRelation: the cached
     relation's STORED build plan (including its original exchanges) is
@@ -50,15 +59,15 @@ def _strip_cached_subtrees(text: str) -> str:
     — counting those exchanges would make plan assertions depend on
     whether some other code cached a shared subtree."""
     out: list[str] = []
-    skip_indent: int | None = None
+    skip_depth: int | None = None
     for line in text.splitlines():
-        indent = len(line) - len(line.lstrip())
-        if skip_indent is not None:
-            if line.strip() and indent > skip_indent:
+        depth = _tree_depth(line)
+        if skip_depth is not None:
+            if line.strip() and depth > skip_depth:
                 continue
-            skip_indent = None
+            skip_depth = None
         if "InMemoryRelation" in line:
-            skip_indent = indent
+            skip_depth = depth
             continue
         out.append(line)
     return "\n".join(out)

@@ -127,3 +127,21 @@ def test_fused_pipeline_survives_malformed_images(spark):
         assert len(out) == 5
         for url, text in out.items():
             assert "real content words" in text, (recognizer, url, text)
+
+
+def test_phantom_empty_payload_with_declared_width_is_skipped(spark):
+    """Empty data-strip with a NONZERO declared width is malformed and
+    must be skipped entirely — not emitted as a phantom empty line slot
+    adding a spurious separator."""
+    from ocr_spark.operators.pipeline import detect_image_lines, extract_full
+
+    good_p = "<p>real content words here enough to score well over the threshold</p>"
+    pages = spark.createDataFrame(
+        [("i:phantom", TS, bytearray(
+            f'<body><img data-width="24" data-height="16" data-strip="">{good_p}</body>'.encode()
+        ), "", "en")],
+        PAGES_SCHEMA,
+    )
+    assert detect_image_lines(pages).count() == 0
+    out = extract_full(pages).collect()[0].extracted_text
+    assert out == "real content words here enough to score well over the threshold"

@@ -117,3 +117,24 @@ def test_dedup_embedding_join_is_bucketed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_strip_cached_subtrees_handles_branch_prefixes():
+    """Cached build plans in a NON-LAST join branch render with ':'
+    continuation prefixes (constant leading-space count); the stripper
+    must still drop their exchanges."""
+    from ocr_spark.plans.inspect import _strip_cached_subtrees
+
+    plan = "\n".join([
+        "SortMergeJoin",
+        ":- InMemoryTableScan [a]",
+        ":     +- InMemoryRelation [a]",
+        ":           +- Exchange hashpartitioning(a, 4)",
+        ":              +- FileScan parquet",
+        "+- Sort [b]",
+        "   +- Exchange hashpartitioning(b, 4)",
+        "      +- FileScan parquet",
+    ])
+    stripped = _strip_cached_subtrees(plan)
+    assert "Exchange hashpartitioning(a, 4)" not in stripped
+    assert "Exchange hashpartitioning(b, 4)" in stripped
