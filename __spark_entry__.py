@@ -1117,7 +1117,7 @@ def oracle_sql() -> dict[str, str]:
                  len(list_filter({_DWORDS},
                      x -> x IN ('le','la','les','et','est','un','une'))) AS c_fr,
                  len(list_filter({_DWORDS},
-                     x -> x IN ('el','los','las','de','que','y','con'))) AS c_es,
+                     x -> x IN ('el','los','las','por','para','y','con'))) AS c_es,
                  CAST(len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]'))
                       AS BIGINT) AS c_zh
               FROM documents
@@ -1126,7 +1126,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_zh > 0 THEN 'zh'
                         WHEN c_de > c_en AND c_de > c_fr AND c_de > c_es THEN 'de'
                         WHEN c_fr > c_en AND c_fr >= c_de AND c_fr > c_es THEN 'fr'
-                        WHEN c_es > c_en AND c_es >= c_de AND c_es >= c_fr THEN 'es'
+                        WHEN c_es > c_en AND c_es >= c_de AND c_es > c_fr THEN 'es'
                         ELSE 'en' END AS predicted_lang,
                    c_en, c_de, c_fr, c_es, c_zh
             FROM t

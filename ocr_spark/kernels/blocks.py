@@ -208,12 +208,25 @@ def nms_merge_quads(
     """Locality-aware NMS over quads [N, 4, 2] — the exact two-pass
     structure of ``nms_merge_blocks`` with polygon IoU and the same
     score-weighted coordinate merge (``locality_aware_nms.py:18-58``
-    semantics in the rotated domain)."""
+    semantics in the rotated domain).
+
+    Inputs are canonicalized first (CCW orientation + ``sort_quad``) so the
+    weighted vertex average pairs corresponding corners: two overlapping
+    quads expressed with different starting vertices or windings would
+    otherwise average into a degenerate bow-tie with near-zero area and
+    silently corrupt the subsequent IoU suppression.
+    """
     n = len(quads)
     if n == 0:
         return quads.reshape(0, 4, 2), scores, []
     quads = quads.astype(np.float64)
     scores = scores.astype(np.float64)
+    quads = np.stack(
+        [
+            sort_quad(q if polygon_area(q) >= 0 else q[::-1])
+            for q in quads
+        ]
+    )
 
     merged_q: list[np.ndarray] = []
     merged_s: list[float] = []

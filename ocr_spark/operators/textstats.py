@@ -28,7 +28,7 @@ _WORDS_EXPR = "filter(split({col}, '\\\\s+'), x -> x != '')"
 STOPWORDS_EN = ("the", "a", "and", "of", "in", "to", "is")
 STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "zu")
 STOPWORDS_FR = ("le", "la", "les", "et", "est", "un", "une")
-STOPWORDS_ES = ("el", "los", "las", "de", "que", "y", "con")
+STOPWORDS_ES = ("el", "los", "las", "por", "para", "y", "con")
 # CJK unified-ideograph char-range vote (zh detection is char-based, not
 # stopword-based — Chinese has no whitespace tokens to vote with).
 CJK_RANGE_RE = r"[\x{4e00}-\x{9fff}]"
@@ -106,7 +106,12 @@ def lang_id(docs: DataFrame) -> DataFrame:
     Per doc: count stopword hits per Latin language plus CJK chars for
     Chinese, then a deterministic cascade: any CJK presence wins (Chinese
     has no whitespace stopwords to vote with); otherwise strict-win
-    priority de > fr > es, ties falling to en. All counts are JVM-side
+    priority de > fr > es — a later language must beat every earlier
+    Latin language strictly except the documented de-tie concessions
+    (c_fr >= c_de, c_es >= c_de: 'der/die/das' rarely collide), and
+    fr/es ties resolve to fr. Ties otherwise fall to en. The ES list
+    deliberately excludes 'de'/'que' (top-frequency French tokens) so
+    ordinary French prose cannot out-vote fr. All counts are JVM-side
     column expressions. Returns (doc_id, lang, predicted_lang, c_en, c_de,
     c_fr, c_es, c_zh).
     """
@@ -136,7 +141,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         .when(
             (F.col("c_es") > F.col("c_en"))
             & (F.col("c_es") >= F.col("c_de"))
-            & (F.col("c_es") >= F.col("c_fr")),
+            & (F.col("c_es") > F.col("c_fr")),
             "es",
         )
         .otherwise("en")
@@ -191,29 +196,35 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
     ratio of the text concatenated with itself — always strictly below
     ``ratio`` (zlib's dictionary captures the repeat), which gives
     SQL-blind oracles a checkable invariant of the codec.
+
+    Empty text is special-cased: zlib's 8-byte stream header would put the
+    raw ratio at 8.0 (outside the documented (0.2, 1.3) band) with
+    ratio_2x == ratio. Zero-length documents instead emit the sentinel
+    (ratio=1.0, ratio_2x=0.999999), preserving both invariants.
     """
     import zlib
     from collections.abc import Iterator
 
     import pandas as pd
 
+    def one(b: bytes) -> tuple[float, float]:
+        if not b:
+            return 1.0, 0.999999
+        return (
+            round(len(zlib.compress(b, 6)) / len(b), 6),
+            round(len(zlib.compress(b + b, 6)) / (2 * len(b)), 6),
+        )
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raw = [str(t).encode("utf-8") for t in pdf["text"]]
+            pairs = [one(b) for b in raw]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [len(b) for b in raw],
-                    "ratio": [
-                        round(len(zlib.compress(b, 6)) / max(len(b), 1), 6)
-                        for b in raw
-                    ],
-                    "ratio_2x": [
-                        round(
-                            len(zlib.compress(b + b, 6)) / max(2 * len(b), 1), 6
-                        )
-                        for b in raw
-                    ],
+                    "ratio": [p[0] for p in pairs],
+                    "ratio_2x": [p[1] for p in pairs],
                 }
             )
 
