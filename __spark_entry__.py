@@ -384,42 +384,62 @@ def q_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 4 deterministic punctuation suffixes that jointly cover all 32
+# punctuation chars of CHAR_VECTOR; doc_id % 4 picks one, so every noisy
+# OCR line mixes alphanumerics with punctuation and the full punctuation
+# vocabulary is exercised across the corpus.
+_PUNCT_SUFFIXES = ["-~`<>'.:", ";^/|!?$%", "#@&*()[]", "{}_+=,\\\""]
+# the same four, spelled as DuckDB single-quoted literals ('' = quote,
+# backslash literal — DuckDB default strings have NO escape sequences)
+_PUNCT_SUFFIXES_SQL = (
+    "'-~`<>''.:'",
+    "';^/|!?$%'",
+    "'#@&*()[]'",
+    "'{}_+=,\\\"'",
+)
+
+# the whole 94-char vocabulary as one DuckDB literal (for the oracle's
+# in-vocabulary filter — the exact SQL twin of `c in CHAR_VECTOR`)
+from ocr_spark.config import CHAR_VECTOR as _CHAR_VECTOR
+
+_VOCAB_SQL_LIT = "'" + _CHAR_VECTOR.replace("'", "''") + "'"
+
+
 def q_ocr_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OCR branch under NON-identity rendering: each doc's alphanumeric
-    prefix is rendered in the 5×7 bitmap-font atlas, bilinear-upscaled 2×,
-    perturbed with seeded Gaussian noise (σ=0.1), resampled back to the
-    8-row strip geometry, and recognized by normalized cross-correlation +
-    CTC (``kernels/font.py``). The oracle asserts exact text recovery —
-    what reaches the recognizer is anti-aliased and noisy, never
-    bit-identical to any template."""
-    import numpy as np
+    """OCR branch under NON-identity rendering, full 94-char vocabulary:
+    each doc's in-vocabulary prefix (32 chars) plus a doc_id-selected
+    8-char punctuation suffix — 40 chars total, mixing alphanumerics and
+    punctuation — is rendered in the 5×7 bitmap-font atlas as CONTINUATION
+    strips (texts whose repeat-gap cells overflow one 64-cell strip roll
+    into a second strip; ``render_distorted_line_multi``), each strip
+    bilinear-upscaled 2×, perturbed with seeded Gaussian noise (σ=0.1),
+    resampled back to the 8-row geometry, recognized by normalized
+    cross-correlation + CTC, and reassembled in segment order. The oracle
+    asserts exact text recovery — what reaches the recognizer is
+    anti-aliased and noisy, never bit-identical to any template."""
     import pandas as pd
 
-    from ocr_spark.kernels.font import render_distorted_line
+    from ocr_spark.config import CHAR_VECTOR
+    from ocr_spark.kernels.font import render_distorted_line_multi
     from ocr_spark.operators.extract_ocr import recognize_line_strips_font
 
     def strips_fn(batches):
         for pdf in batches:
-            ids, strips, widths = [], [], []
+            urls, segs, strips, widths = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                # cap at 32 chars, not 40: every adjacent repeat inserts a
-                # blank gap cell, so n chars can occupy up to 2n-1 of the
-                # 64 glyph cells — 32 is the largest cap that can never
-                # truncate mid-text and break the exact oracle
-                s = re.sub(r"[^0-9a-zA-Z]", "", str(text))[:32]
-                strip, width = render_distorted_line(
-                    s, scale=2.0, sigma=0.1, seed=int(doc_id)
-                )
-                ids.append(int(doc_id))
-                strips.append(strip.ravel().tolist())
-                widths.append(width)
+                s = "".join(c for c in str(text) if c in CHAR_VECTOR)[:32]
+                s += _PUNCT_SUFFIXES[int(doc_id) % 4]
+                for k, (strip, width) in enumerate(
+                    render_distorted_line_multi(
+                        s, scale=2.0, sigma=0.1, seed=int(doc_id)
+                    )
+                ):
+                    urls.append(str(int(doc_id)))
+                    segs.append(k)
+                    strips.append(strip.ravel().tolist())
+                    widths.append(width)
             yield pd.DataFrame(
-                {
-                    "url": [str(i) for i in ids],
-                    "line_id": ids,
-                    "strip": strips,
-                    "width": widths,
-                }
+                {"url": urls, "line_id": segs, "strip": strips, "width": widths}
             )
 
     docs = (
@@ -432,9 +452,21 @@ def q_ocr_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="url string, line_id int, strip array<float>, width long",
     )
     out = recognize_line_strips_font(lines)
-    return out.select(
-        F.col("line_id").cast("long").alias("doc_id"),
-        F.col("text").alias("text_out"),
+    # reassemble continuation segments in order — url carries the doc_id,
+    # line_id the segment index; array_sort on (seg, text) structs orders
+    # by seg, all JVM-side
+    return (
+        out.groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "",
+            ).alias("text_out")
+        )
+        .select(F.col("url").cast("long").alias("doc_id"), "text_out")
     )
 
 
@@ -999,10 +1031,16 @@ def oracle_sql() -> dict[str, str]:
                        AS text_out
             FROM documents
         """,
-        "ocr_noisy": """
+        "ocr_noisy": f"""
             SELECT doc_id,
-                   substr(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'), 1, 32)
-                       AS text_out
+                   substr(array_to_string(list_filter(
+                       regexp_split_to_array(text, ''),
+                       c -> strpos({_VOCAB_SQL_LIT}, c) > 0), ''), 1, 32)
+                   || CASE CAST(doc_id % 4 AS INTEGER)
+                        WHEN 0 THEN {_PUNCT_SUFFIXES_SQL[0]}
+                        WHEN 1 THEN {_PUNCT_SUFFIXES_SQL[1]}
+                        WHEN 2 THEN {_PUNCT_SUFFIXES_SQL[2]}
+                        ELSE {_PUNCT_SUFFIXES_SQL[3]} END AS text_out
             FROM documents
         """,
         "media_features": """

@@ -115,6 +115,43 @@ _F = {
     "x": (".....", ".....", "#...#", ".#.#.", "..#..", ".#.#.", "#...#"),
     "y": (".....", "#...#", "#...#", "#...#", ".####", "....#", ".###."),
     "z": (".....", ".....", "#####", "...#.", "..#..", ".#...", "#####"),
+    # -- punctuation (the remaining 32 CHAR_VECTOR glyphs). Sparse marks
+    # (period, quotes, backtick) are drawn 2-px bold so their NCC energy
+    # survives the contract distortion; near-twins (| ! i 1 l, . , ' `)
+    # are deliberately de-correlated — margins verified by
+    # scripts/font_margin_report.py at 2x scale, sigma=0.1.
+    "-": (".....", ".....", ".....", "#####", ".....", ".....", "....."),
+    "~": (".....", ".....", ".##.#", "#.##.", ".....", ".....", "....."),
+    "`": ("##...", ".##..", "..#..", ".....", ".....", ".....", "....."),
+    "<": ("...##", "..##.", ".##..", "##...", ".##..", "..##.", "...##"),
+    ">": ("##...", ".##..", "..##.", "...##", "..##.", ".##..", "##..."),
+    "'": ("..##.", "..##.", "..#..", ".....", ".....", ".....", "....."),
+    ".": (".....", ".....", ".....", ".....", ".....", "..##.", "..##."),
+    ":": (".....", "..##.", "..##.", ".....", "..##.", "..##.", "....."),
+    ";": (".....", "..##.", "..##.", ".....", "..##.", "..#..", ".#..."),
+    "^": ("..#..", ".#.#.", "#...#", ".....", ".....", ".....", "....."),
+    "/": ("....#", "....#", "...#.", "..#..", ".#...", "#....", "#...."),
+    "|": ("..#..", "..#..", "..#..", "..#..", "..#..", "..#..", "..#.."),
+    "!": (".##..", ".##..", ".##..", ".##..", ".....", ".##..", ".##.."),
+    "?": (".###.", "#...#", "....#", "...#.", "..#..", ".....", "..#.."),
+    "$": ("..#..", ".####", "#.#..", ".###.", "..#.#", "####.", "..#.."),
+    "%": ("##...", "##..#", "...#.", "..#..", ".#...", "#..##", "...##"),
+    "#": (".#.#.", ".#.#.", "#####", ".#.#.", "#####", ".#.#.", ".#.#."),
+    "@": (".###.", "#...#", "#.###", "#.#.#", "#.##.", "#....", ".####"),
+    "&": (".##..", "#..#.", "#.#..", ".#...", "#.#.#", "#..#.", ".##.#"),
+    "*": (".....", "..#..", "#.#.#", ".###.", "#.#.#", "..#..", "....."),
+    "(": ("...#.", "..#..", ".#...", ".#...", ".#...", "..#..", "...#."),
+    ")": (".#...", "..#..", "...#.", "...#.", "...#.", "..#..", ".#..."),
+    "[": ("###..", "#....", "#....", "#....", "#....", "#....", "###.."),
+    "]": ("..###", "....#", "....#", "....#", "....#", "....#", "..###"),
+    "{": ("...##", "..#..", "..#..", ".##..", "..#..", "..#..", "...##"),
+    "}": ("##...", "..#..", "..#..", "..##.", "..#..", "..#..", "##..."),
+    "_": (".....", ".....", ".....", ".....", ".....", ".....", "#####"),
+    "+": (".....", "..#..", "..#..", "#####", "..#..", "..#..", "....."),
+    "=": (".....", ".....", "#####", ".....", "#####", ".....", "....."),
+    ",": (".....", ".....", ".....", ".....", "..##.", "..##.", ".#..."),
+    "\\": ("#....", "#....", ".#...", "..#..", "...#.", "....#", "....#"),
+    '"': (".#.#.", ".#.#.", ".#.#.", ".....", ".....", ".....", "....."),
 }
 
 FONT_CHARS = "".join(c for c in CHAR_VECTOR if c in _F)
@@ -172,32 +209,69 @@ def _atlas() -> tuple[np.ndarray, np.ndarray, int]:
 _ATLAS_IDX, _ATLAS_T, _N_VARIANTS = _atlas()
 
 
-def render_line_font(
-    text: str, pad_to: int = MAX_LINE_WIDTH
-) -> tuple[np.ndarray, int]:
-    """Render alphanumeric text as an 8×pad_to strip of 5×7 glyphs.
-
-    Out-of-atlas characters are skipped (the vocabulary discipline,
-    ``/root/reference/DataPreprocess/DataGen.py:28-45``); a blank cell is
-    inserted between repeated characters so CTC merge_repeated cannot
-    collapse them. Truncation is at 64 CELLS (chars + repeat-gap cells):
-    n characters occupy up to 2n−1 cells, so callers needing exact
-    roundtrips must cap input at 32 chars (the all-repeats worst case) —
-    ``MAX_GLYPHS // 2`` — as the contract queries do.
-    """
-    chars = [c for c in text if c in _F]
+def _text_slots(text: str) -> list[str | None]:
+    """Glyph-cell slot stream for a text: one slot per in-vocabulary char,
+    with a ``None`` (blank gap cell) inserted between adjacent repeats so
+    CTC merge_repeated cannot collapse them. Out-of-atlas characters are
+    skipped (the vocabulary discipline,
+    ``/root/reference/DataPreprocess/DataGen.py:28-45``)."""
     slots: list[str | None] = []
-    for c in chars:
+    for c in text:
+        if c not in _F:
+            continue
         if slots and slots[-1] == c:
             slots.append(None)
         slots.append(c)
-    slots = slots[:MAX_GLYPHS]
+    return slots
+
+
+def _render_slots(
+    slots: list[str | None], pad_to: int
+) -> tuple[np.ndarray, int]:
     width = len(slots) * GLYPH_W
     strip = np.zeros((GLYPH_H, pad_to), dtype=np.float32)
     for t, c in enumerate(slots):
         if c is not None:
             strip[:, t * GLYPH_W : (t + 1) * GLYPH_W] = glyph_bitmap(c)
     return strip, width
+
+
+def render_line_font(
+    text: str, pad_to: int = MAX_LINE_WIDTH
+) -> tuple[np.ndarray, int]:
+    """Render text as ONE 8×pad_to strip of 5×7 glyphs.
+
+    Truncation is at 64 CELLS (chars + repeat-gap cells): n characters
+    occupy up to 2n−1 cells, so callers needing exact single-strip
+    roundtrips must cap input at 32 chars (the all-repeats worst case) —
+    ``MAX_GLYPHS // 2``. Longer texts: ``render_line_font_multi``.
+    """
+    return _render_slots(_text_slots(text)[:MAX_GLYPHS], pad_to)
+
+
+def render_line_font_multi(
+    text: str, pad_to: int = MAX_LINE_WIDTH
+) -> list[tuple[np.ndarray, int]]:
+    """Render arbitrarily long text as continuation strips (NO length cap).
+
+    The slot stream is chunked at ``MAX_GLYPHS`` cells; each chunk becomes
+    its own strip. Strips are decoded independently and concatenated in
+    chunk order, so a repeat-gap blank that would land at the START of a
+    chunk is dropped — the strip boundary itself already separates the
+    repeated characters for CTC. Always returns at least one strip (empty
+    text → one all-zero strip of width 0).
+    """
+    slots = _text_slots(text)
+    out: list[tuple[np.ndarray, int]] = []
+    pos = 0
+    while True:
+        chunk = slots[pos : pos + MAX_GLYPHS]
+        pos += len(chunk)
+        if pos < len(slots) and slots[pos] is None:
+            pos += 1  # boundary separates the repeat; gap cell redundant
+        out.append(_render_slots(chunk, pad_to))
+        if pos >= len(slots):
+            return out
 
 
 def distort_strip(
@@ -248,6 +322,36 @@ def render_distorted_line(
     out = np.zeros((GLYPH_H, pad_to), dtype=np.float32)
     out[:, : content.shape[1]] = content
     return out, content.shape[1]
+
+
+def render_distorted_line_multi(
+    text: str,
+    scale: float = 2.0,
+    sigma: float = 0.1,
+    seed: int = 0,
+    pad_to: int = MAX_LINE_WIDTH,
+) -> list[tuple[np.ndarray, int]]:
+    """``render_distorted_line`` without the single-strip length cap: the
+    continuation strips of ``render_line_font_multi``, each independently
+    distorted (noise seed varies per segment so no two segments share a
+    noise field) and normalized back to the 8-row geometry. Decoding each
+    strip and concatenating in segment order recovers the full text.
+    """
+    from ocr_spark.kernels.ocr import normalize_strip
+
+    out: list[tuple[np.ndarray, int]] = []
+    for k, (strip, width) in enumerate(render_line_font_multi(text, pad_to)):
+        if width == 0:
+            out.append((strip, 0))
+            continue
+        content = distort_strip(strip[:, :width], scale, sigma, seed + 7919 * k)
+        if content.shape[0] != GLYPH_H:
+            out.append(normalize_strip(content, pad_to=pad_to, mode="bilinear"))
+        else:
+            padded = np.zeros((GLYPH_H, pad_to), dtype=np.float32)
+            padded[:, : content.shape[1]] = content
+            out.append((padded, content.shape[1]))
+    return out
 
 
 def font_line_logits(strips: np.ndarray) -> np.ndarray:

@@ -32,7 +32,11 @@ def _roundtrip(text: str, **distort) -> str:
 
 
 def test_full_alphabet_clean_roundtrip():
-    assert _roundtrip(FONT_CHARS) == FONT_CHARS
+    # 94 distinct chars no longer fit one 64-cell strip; the single-strip
+    # contract covers any 64-slot window, the full vocabulary roundtrips
+    # via continuation strips (test_multi_strip_lifts_length_cap)
+    assert _roundtrip(FONT_CHARS[:64]) == FONT_CHARS[:64]
+    assert _roundtrip(FONT_CHARS[30:94]) == FONT_CHARS[30:94]
 
 
 def test_repeated_chars_survive_ctc_collapse():
@@ -92,3 +96,76 @@ def test_all_repeats_at_cap_roundtrips_exactly():
     assert _roundtrip("a" * 32, scale=2.0, sigma=0.1, seed=7) == "a" * 32
     # beyond the cap the renderer truncates at the cell level BY DESIGN
     assert _roundtrip("a" * 33) == "a" * 32
+
+
+# ---- round 3: full 94-char vocabulary + multi-strip continuation ----
+
+from ocr_spark.config import CHAR_VECTOR
+from ocr_spark.kernels.font import (
+    render_distorted_line_multi,
+    render_line_font_multi,
+)
+
+
+def _roundtrip_multi(text, scale=1.0, sigma=0.0, seed=0):
+    import numpy as np
+
+    from ocr_spark.kernels.font import recognize_lines_font
+
+    if sigma or scale != 1.0:
+        segs = render_distorted_line_multi(text, scale, sigma, seed)
+    else:
+        segs = render_line_font_multi(text)
+    strips = np.stack([s for s, _ in segs])
+    widths = [w for _, w in segs]
+    return "".join(recognize_lines_font(strips, widths))
+
+
+def test_atlas_covers_full_vocabulary():
+    assert FONT_CHARS == CHAR_VECTOR
+    assert len(FONT_CHARS) == 94
+
+
+def test_punctuation_roundtrip_noisy():
+    """All 32 punctuation glyphs recover exactly at the contract
+    distortion, in mixed alnum context, across noise seeds."""
+    punct = CHAR_VECTOR[62:]
+    assert len(punct) == 32
+    text = ("a" + punct[:16] + "Z8" + punct[16:] + "q")[:40]
+    for seed in range(30):
+        got = _roundtrip_multi(text, scale=2.0, sigma=0.1, seed=seed)
+        assert got == text, (seed, got)
+
+
+def test_multi_strip_lifts_length_cap():
+    """40+-char texts (beyond the single-strip 32-char exact cap) roll
+    into continuation strips and roundtrip exactly, repeats included."""
+    for text in [
+        "The;quick|brown!fox?jumps#over_the=lazy@",  # 40 mixed
+        "a" * 100,  # worst case: every char needs a gap cell
+        ("zz!!" * 25),  # repeats spanning chunk boundaries
+        CHAR_VECTOR,  # the whole vocabulary in one line
+    ]:
+        assert _roundtrip_multi(text) == text
+        assert _roundtrip_multi(text, scale=2.0, sigma=0.1, seed=3) == text
+
+
+def test_multi_strip_chunk_boundary_repeat():
+    """A repeat whose gap cell lands exactly at a chunk boundary must not
+    merge across strips (boundary itself separates the repeat)."""
+    from ocr_spark.kernels.font import MAX_GLYPHS
+
+    # 64 distinct-slot chars fill strip 1 exactly; next char repeats the
+    # last one, so its gap cell would be slot 65 — dropped at the boundary
+    base = ("ab" * (MAX_GLYPHS // 2))  # 64 chars, no adjacent repeats
+    text = base + base[-1] + "Q"
+    assert _roundtrip_multi(text) == text
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(alphabet=CHAR_VECTOR, min_size=1, max_size=120),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_property_multi_strip_full_vocab_roundtrip(text, seed):
+    assert _roundtrip_multi(text, scale=2.0, sigma=0.1, seed=seed) == text
