@@ -471,25 +471,61 @@ def q_ocr_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column → feature extraction."""
+    """Multimodal plumbing over REAL container bytes: each doc's text
+    bytes become the pixel rows of an 8×min(n,384) grayscale image,
+    encoded as an actual PNG (``kernels.png``, stored-deflate level 0 so
+    the byte size has a closed form), then decoded back by the feature
+    extractor via signature sniff + IHDR parse + inflate + unfilter. The
+    oracle checks the PNG byte size (76 + 8·W exactly) and that the
+    DECODED dimensions equal the constructed ones — dims that only exist
+    inside the binary payload, so a fake decode cannot fake them."""
+    import pandas as pd
+
+    from ocr_spark.kernels.png import encode_png
     from ocr_spark.operators.multimodal import extract_media_features
 
-    docs = _docs(spark, sf_dir)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("url"),
+    def media_fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, urls, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = str(text).encode("utf-8")
+                w = min(max(len(b), 1), 384)
+                pix = np.tile(
+                    np.frombuffer(b or b"\x00", dtype=np.uint8), 8 * w // max(len(b), 1) + 8
+                )[: 8 * w].reshape(8, w)
+                ids.append(int(doc_id))
+                urls.append(f"mem://doc/{int(doc_id)}")
+                payloads.append(encode_png(pix, level=0))
+            yield pd.DataFrame(
+                {"media_id": ids, "url": urls, "payload": payloads}
+            )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    media = docs.mapInPandas(
+        media_fn, schema="media_id long, url string, payload binary"
+    ).select(
+        "media_id",
+        "url",
         F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
+        "payload",
         F.struct(
             F.lit(16).cast("int").alias("width"),
             F.lit(16).cast("int").alias("height"),
             F.lit(1).cast("int").alias("n_frames"),
             F.lit(0).cast("int").alias("sample_rate"),
-            F.lit("text/plain").alias("content_type"),
+            F.lit("image/png").alias("content_type"),
         ).alias("meta"),
     )
     feats = extract_media_features(media)
-    return feats.select("media_id", "kind", "payload_bytes")
+    return feats.select(
+        "media_id", "kind", "payload_bytes", "decoded_w", "decoded_h"
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,8 +1080,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "media_features": """
+            -- W = min(n_text_bytes, 384); the PNG is 8 rows of W pixels,
+            -- filter-0 scanlines, stored-deflate: 8+25+12+12 fixed chunk
+            -- overhead + (2 + 5 + 8*(W+1) + 4) zlib framing = 76 + 8*W
             SELECT doc_id AS media_id, 'image' AS kind,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+                   CAST(76 + 8 * least(greatest(octet_length(encode(text)), 1),
+                                       384) AS BIGINT) AS payload_bytes,
+                   CAST(least(greatest(octet_length(encode(text)), 1), 384)
+                        AS INTEGER) AS decoded_w,
+                   CAST(8 AS INTEGER) AS decoded_h
             FROM documents
         """,
         "dedup_exact": """

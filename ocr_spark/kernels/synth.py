@@ -180,6 +180,7 @@ def wrap_html_with_font_images(
     import numpy as np
 
     from ocr_spark.kernels.font import GLYPH_H, distort_strip, render_line_font
+    from ocr_spark.kernels.png import encode_png
 
     doc = wrap_html(main_text, url).decode("utf-8")
     imgs = []
@@ -188,8 +189,11 @@ def wrap_html_with_font_images(
         noisy = distort_strip(
             strip[:, :width], float(scale), sigma, seed_base * 31 + idx
         )
+        # REAL container bytes: the noisy strip ships as an actual PNG
+        # (kernels.png), so the extraction pipeline exercises a genuine
+        # decode — signature sniff, inflate, unfilter — not a raw memcpy
         payload = base64.b64encode(
-            (noisy * 255).astype(np.uint8).tobytes()
+            encode_png((noisy * 255).astype(np.uint8))
         ).decode("ascii")
         imgs.append(
             f'<img class="embedded-line" data-width="{width * scale}" '

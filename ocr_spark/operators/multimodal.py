@@ -56,6 +56,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("payload_bytes", T.LongType()),
         T.StructField("payload_crc", T.LongType()),
+        # dimensions of the DECODED raster — for PNG payloads these come
+        # from the parsed IHDR, proving a real container decode happened
+        # (for stub-decoded payloads they echo the advisory meta)
+        T.StructField("decoded_w", T.IntegerType()),
+        T.StructField("decoded_h", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
@@ -64,12 +69,26 @@ FEATURE_DIM = 16
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB codec: deterministic fake pixels from payload bytes.
+    """Image codec seam: PNG payloads decode FOR REAL; other containers
+    fall back to the deterministic fake.
 
-    A real deployment replaces this body with e.g. ``cv2.imdecode`` — the
-    signature and the (H, W) float32 contract are the real seam. The fake is
-    deterministic (sha256-seeded) so tests are byte-stable.
+    PNG bytes (signature-sniffed) go through the engine's own pure-stdlib
+    RFC-2083 decoder (``kernels.png`` — the analog of the reference's
+    ``cv2.imread`` scan, ``/root/reference/test_img.py:38-43``); color
+    images are reduced to luma by channel mean. The declared meta
+    width/height are advisory for PNG — the parsed IHDR dimensions win
+    (real metadata can lie; the bytes cannot). Non-PNG payloads (JPEG etc.
+    — codecs not available in this container) keep the sha256-seeded
+    deterministic fake, honestly labeled: the (H, W) float32 [0,1]
+    contract is identical either way.
     """
+    from ocr_spark.kernels.png import PNG_MAGIC, decode_png
+
+    if payload.startswith(PNG_MAGIC):
+        img = decode_png(payload)
+        if img.ndim == 3:
+            img = img.mean(axis=2)
+        return (img / 255.0).astype(np.float32)
     digest = hashlib.sha256(payload).digest()
     seed = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
     n = width * height
@@ -92,7 +111,7 @@ def _pool_bands(img: np.ndarray) -> np.ndarray:
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        ids, kinds, sizes, crcs, feats = [], [], [], [], []
+        ids, kinds, sizes, crcs, dws, dhs, feats = [], [], [], [], [], [], []
         for mid, kind, payload, meta in zip(
             pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
         ):
@@ -101,7 +120,10 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             payload = bytes(payload)
             w = int(meta["width"] or 16)
             h = int(meta["height"] or 16)
-            img = decode_image(payload, w, h)
+            try:
+                img = decode_image(payload, w, h)
+            except (ValueError, zlib.error):
+                continue  # truncated/corrupt container: skip, never crash
             # 16-dim pooled feature: column-band means (a fixed pooling —
             # the place a real embedding model plugs in)
             feat = _pool_bands(img)
@@ -109,6 +131,8 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             kinds.append(kind)
             sizes.append(len(payload))
             crcs.append(zlib.crc32(payload))
+            dhs.append(int(img.shape[0]))
+            dws.append(int(img.shape[1]))
             feats.append(feat.tolist())
         if ids:  # empty frames with array columns break Arrow conversion
             yield pd.DataFrame(
@@ -117,6 +141,8 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "kind": kinds,
                     "payload_bytes": sizes,
                     "payload_crc": crcs,
+                    "decoded_w": dws,
+                    "decoded_h": dhs,
                     "feature": feats,
                 }
             )
@@ -162,7 +188,11 @@ def resize_images(
                     continue
                 w = int(meta["width"] or 16)
                 h = int(meta["height"] or 16)
-                img = decode_image(bytes(payload), w, h)
+                try:
+                    img = decode_image(bytes(payload), w, h)
+                except (ValueError, zlib.error):
+                    continue  # corrupt container: skip, never crash
+                h, w = img.shape  # PNG IHDR dims override advisory meta
                 if mode == "bilinear":
                     small = bilinear_resample(img, out_h, out_w)
                 else:
@@ -311,11 +341,22 @@ def sample_audio_windows(
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    """Deterministic fake media table for tests. IMAGE rows carry REAL
+    PNG payloads (16×16 grayscale, pixels sha256-derived, encoded by
+    ``kernels.png``) so the decode path exercises an actual container
+    format; audio/video rows keep raw seeded bytes (those codecs remain
+    stubbed)."""
+    from ocr_spark.kernels.png import encode_png
+
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 8
+        seed = hashlib.sha256(f"media-{i}".encode()).digest() * 8
         kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            pix = np.frombuffer(seed, dtype=np.uint8)[: 16 * 16].reshape(16, 16)
+            payload = encode_png(pix)
+        else:
+            payload = seed
         rows.append(
             (
                 i,

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import base64
 import re
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -38,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.config import BLOCK_SEPARATOR, LINE_HEIGHT, MAX_LINE_WIDTH
+from ocr_spark.kernels.png import PNG_MAGIC, decode_png
 
 # embedded-line detector: the stand-in for the reference's detection head
 # over image content (score map → boxes); here lines announce themselves
@@ -72,7 +74,22 @@ def _lines_of_doc(html_text: str):
             # declared nonzero width with no data = malformed, skip (an
             # empty payload is legitimate ONLY for a zero-width line)
             continue
-        raw = np.frombuffer(payload, dtype=np.uint8).astype(np.float32) / 255.0
+        if payload.startswith(PNG_MAGIC):
+            # real container: dimensions come from the IHDR, not the
+            # attributes (bytes cannot lie; attributes can)
+            try:
+                img = decode_png(payload)
+            except (ValueError, zlib.error):
+                continue  # corrupt PNG: skip the image, never the task
+            if img.ndim == 3:
+                img = img.mean(axis=2)
+            raw = (img / 255.0).astype(np.float32).ravel()
+            height = img.shape[0]
+        else:
+            raw = (
+                np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+                / 255.0
+            )
         if height == LINE_HEIGHT:
             if raw.size != LINE_HEIGHT * MAX_LINE_WIDTH:
                 continue  # malformed payload: skip, never crash
