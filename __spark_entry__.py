@@ -552,6 +552,17 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.05)
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pair search by Hamming-band bucketing (pigeonhole:
+    8 bands of 8 bits each find EVERY pair within Hamming distance 7 via
+    exact-match band equi-joins — guaranteed recall, no attribute
+    blocking). The oracle reproduces signatures, banding, the hot-bucket
+    cap, and the XOR-popcount verification in SQL."""
+    from ocr_spark.operators.dedup import simhash_band_pairs
+
+    return simhash_band_pairs(_docs(spark, sf_dir), n_bands=8)
+
+
 def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage dedup pipeline: LSH banding candidates (recall stage) →
     exact n-gram Jaccard verification of exactly those pairs (precision
@@ -949,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh": q_dedup_lsh,
         "dedup_verified": q_dedup_verified,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1443,6 +1455,7 @@ def oracle_sql() -> dict[str, str]:
             FROM n GROUP BY user_id, session_no
         """,
         "dedup_simhash": _simhash_oracle_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
         "sim_lsh": _sim_lsh_oracle_sql(),
         "dedup_embedding": _dedup_embedding_oracle_sql(),
         "nodes_profile": _nodes_profile_oracle_sql(),
@@ -1652,6 +1665,43 @@ def _extract_quality_oracle_sql() -> str:
                round(1.0 - CAST(n_chars AS DOUBLE)
                      / (n_chars + chrome_chars), 6) AS boilerplate_ratio
         FROM per_doc
+    """
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    """DuckDB twin of ``operators.dedup.simhash_band_pairs`` (8 bands × 8
+    bits): signatures via the ``dedup_simhash`` oracle, band values by
+    shift+mask, the same MAX_LSH_BUCKET hot-bucket HAVING cap, candidate
+    pairs by band equi-join, exact XOR-popcount verify at radius 7."""
+    return f"""
+        WITH s AS (SELECT * FROM ({_simhash_oracle_sql()})),
+        b AS (
+          SELECT doc_id, band,
+                 CASE WHEN band < 4 THEN (simhash_lo >> (band * 8)) & 255
+                      ELSE (simhash_hi >> ((band - 4) * 8)) & 255
+                 END AS bits
+          FROM s, (SELECT unnest(range(8)) AS band)
+        ),
+        ok AS (
+          SELECT band, bits FROM b GROUP BY band, bits
+          HAVING count(*) > 1 AND count(*) <= 1024
+        ),
+        pruned AS (SELECT b.* FROM b JOIN ok USING (band, bits)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+          FROM pruned x JOIN pruned y USING (band, bits)
+          WHERE x.doc_id < y.doc_id
+        ),
+        verified AS (
+          SELECT cand.a_id AS doc_id_a, cand.b_id AS doc_id_b,
+                 CAST(bit_count(xor(sa.simhash_hi, sb.simhash_hi))
+                      + bit_count(xor(sa.simhash_lo, sb.simhash_lo))
+                      AS BIGINT) AS hamming
+          FROM cand
+          JOIN s sa ON cand.a_id = sa.doc_id
+          JOIN s sb ON cand.b_id = sb.doc_id
+        )
+        SELECT doc_id_a, doc_id_b, hamming FROM verified WHERE hamming <= 7
     """
 
 

@@ -119,8 +119,36 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 4, shingle_n: int = 3) -
     return sig_arr.select("doc_id", *cols)
 
 
+def _materialize_pairs(
+    pairs: DataFrame, materialize: str, table_path: str | None
+) -> DataFrame:
+    """Materialize a candidate-pair table one of two ways:
+
+    - ``"local"``: eager ``localCheckpoint`` — cheapest, but the blocks
+      live in executor storage and are NOT resilient to executor loss;
+      right for interactive/short jobs.
+    - ``"table"``: write the pairs to ``table_path`` as parquet and read
+      them back — the cluster-resilient path for multi-hour jobs (the
+      pair table is the natural checkpoint artifact; any executor can
+      re-read it after a loss).
+    """
+    if materialize == "table":
+        if not table_path:
+            raise ValueError("materialize='table' requires table_path")
+        pairs.write.mode("overwrite").parquet(table_path)
+        return pairs.sparkSession.read.parquet(table_path)
+    if materialize != "local":
+        raise ValueError(f"unknown materialize mode {materialize!r}")
+    return pairs.localCheckpoint(eager=True)
+
+
 def lsh_candidate_pairs(
-    docs: DataFrame, n_bands: int = 4, rows_per_band: int = 2, shingle_n: int = 3
+    docs: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    materialize: str = "local",
+    table_path: str | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
@@ -168,10 +196,10 @@ def lsh_candidate_pairs(
     # returning and (b) the returned DataFrame holds no persist the caller
     # must remember to release — checkpoint blocks are reclaimed by the
     # ContextCleaner when the result is garbage-collected, so repeated
-    # invocations do not leak storage. (Trade-off, documented: a
-    # localCheckpoint is not resilient to executor loss; at cluster scale a
-    # caller running inside a multi-hour job should write the pairs to a
-    # table instead — they are the natural checkpoint artifact.)
+    # invocations do not leak storage. (Trade-off: a localCheckpoint is
+    # not resilient to executor loss; callers running inside multi-hour
+    # cluster jobs should pass materialize="table" + table_path to write
+    # the pairs to parquet instead — the natural checkpoint artifact.)
     bands = bands.persist()
     try:
         sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("m"))
@@ -190,7 +218,7 @@ def lsh_candidate_pairs(
             )
             .distinct()
         )
-        return pairs.localCheckpoint(eager=True)
+        return _materialize_pairs(pairs, materialize, table_path)
     finally:
         bands.unpersist()
         sigs.unpersist()
@@ -320,10 +348,105 @@ def simhash64(docs: DataFrame) -> DataFrame:
     )
 
 
+def simhash_band_pairs(
+    docs: DataFrame,
+    n_bands: int = 8,
+    max_hamming: int | None = None,
+    materialize: str = "local",
+    table_path: str | None = None,
+) -> DataFrame:
+    """SimHash near-pairs by Hamming-band bucketing — the SCALE path
+    (replaces the attribute-blocked ``simhash_near_pairs``, which is
+    O(n²/groups) and unusable on an unblocked corpus).
+
+    Pigeonhole guarantee: split the 64 signature bits into ``n_bands``
+    equal bands; two signatures within Hamming distance < n_bands must
+    agree EXACTLY on at least one band, so an equi self-join on
+    (band, band_bits) finds every pair with distance ≤ n_bands − 1 — the
+    default ``max_hamming``. Recall is exactly 1.0 in that radius, unlike
+    MinHash banding's probabilistic recall.
+
+    Physical shape mirrors ``lsh_candidate_pairs``: persisted signature
+    projection (Catalyst would otherwise re-inline the 64-vote aggregate
+    into every band expression), band explode to slim (doc_id, band, bits)
+    rows, hot-bucket census cap (a degenerate band value shared by m docs
+    would emit m²/2 pairs — capped at ``MAX_LSH_BUCKET``, mirrored in the
+    contract oracle), bucketed equi self-join, then exact XOR-popcount
+    verification of candidates only. Returns (doc_id_a, doc_id_b, hamming)
+    distinct with a < b, hamming ≤ max_hamming.
+    """
+    if 64 % n_bands or 32 % (64 // n_bands):
+        raise ValueError("n_bands must split 64 bits within 32-bit halves")
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    sigs = simhash64(docs).persist()
+    try:
+        band_vals = [
+            F.expr(
+                f"shiftright(simhash_{'lo' if i * bits < 32 else 'hi'}, "
+                f"{(i * bits) % 32}) & {mask}"
+            ).alias("bits")
+            for i in range(n_bands)
+        ]
+        bands = sigs.select(
+            "doc_id",
+            F.posexplode(F.array(*band_vals)).alias("band", "bits"),
+        ).persist()
+        try:
+            sizes = bands.groupBy("band", "bits").agg(F.count("*").alias("m"))
+            ok = sizes.filter(
+                (F.col("m") > 1) & (F.col("m") <= MAX_LSH_BUCKET)
+            ).select("band", "bits")
+            pruned = bands.join(ok, ["band", "bits"])
+            a, b = pruned.alias("a"), pruned.alias("b")
+            cand = (
+                a.join(b, ["band", "bits"])
+                .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(
+                    F.col("a.doc_id").alias("doc_id_a"),
+                    F.col("b.doc_id").alias("doc_id_b"),
+                )
+                .distinct()
+            )
+            sa = sigs.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("simhash_hi").alias("hi_a"),
+                F.col("simhash_lo").alias("lo_a"),
+            )
+            sb = sigs.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("simhash_hi").alias("hi_b"),
+                F.col("simhash_lo").alias("lo_b"),
+            )
+            ham = F.bit_count(
+                F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+            ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            pairs = (
+                cand.join(sa, "doc_id_a")
+                .join(sb, "doc_id_b")
+                .select(
+                    "doc_id_a",
+                    "doc_id_b",
+                    ham.cast("long").alias("hamming"),
+                )
+                .filter(F.col("hamming") <= max_hamming)
+            )
+            return _materialize_pairs(pairs, materialize, table_path)
+        finally:
+            bands.unpersist()
+    finally:
+        sigs.unpersist()
+
+
 def simhash_near_pairs(
     docs: DataFrame, group_col: str = "source", max_hamming: int = 8
 ) -> DataFrame:
-    """SimHash near-dup pairs within a blocking group (bit_count(xor) ≤ k)."""
+    """SimHash near-dup pairs within a blocking group (bit_count(xor) ≤ k).
+
+    Test-scale spelling only: the group self-join is O(n²/groups). The
+    corpus-scale path with guaranteed recall is ``simhash_band_pairs``."""
     sig = simhash64(docs).join(docs.select("doc_id", group_col), "doc_id")
     a, b = sig.alias("a"), sig.alias("b")
     joined = a.join(b, on=group_col).filter(F.col("a.doc_id") < F.col("b.doc_id"))

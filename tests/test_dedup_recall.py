@@ -94,3 +94,68 @@ def test_end_to_end_dedup_pipeline(spark, planted):
     assert all(i in ids for i in range(N_BASE))
     killed = [i + 10_000 for i in range(N_BASE) if (i + 10_000) not in ids]
     assert len(killed) >= 0.9 * N_BASE
+
+
+# ---- round 3: Hamming-band simhash near-pairs + table materialization ----
+
+
+def test_simhash_band_pairs_exact_recall_vs_brute_force(spark, planted):
+    """Pigeonhole guarantee: 8 bands of 8 bits find EVERY pair with
+    Hamming distance <= 7 — verified against the brute-force all-pairs
+    sweep on the planted corpus (no bucket exceeds the hot cap here)."""
+    from ocr_spark.operators.dedup import simhash64, simhash_band_pairs
+
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in simhash_band_pairs(planted, n_bands=8).collect()
+    }
+    sigs = {r.doc_id: (r.simhash_hi, r.simhash_lo) for r in simhash64(planted).collect()}
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+                sigs[a][1] ^ sigs[b][1]
+            ).count("1")
+            if ham <= 7:
+                want.add((a, b, ham))
+    assert got == want
+    # the planted exact dups are all found at distance 0
+    zero = {(a, b) for a, b, h in got if h == 0}
+    assert all((i, i + 20_000) in zero for i in range(0, N_BASE, 3))
+
+
+def test_simhash_band_pairs_radius_follows_bands(spark, planted):
+    """4 bands of 16 bits guarantee radius 3 — a subset of the radius-7
+    result, never missing a pair within its own radius."""
+    from ocr_spark.operators.dedup import simhash_band_pairs
+
+    r7 = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in simhash_band_pairs(planted, n_bands=8).collect()
+    }
+    r3 = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in simhash_band_pairs(planted, n_bands=4).collect()
+    }
+    assert r3 == {(a, b, h) for a, b, h in r7 if h <= 3}
+
+
+def test_pair_materialization_table_mode(spark, planted, tmp_path):
+    """materialize='table' writes the pair table to parquet and returns a
+    reader over it — identical rows to the local-checkpoint mode, and the
+    parquet survives as the resume artifact."""
+    from ocr_spark.operators.dedup import lsh_candidate_pairs
+
+    local = lsh_candidate_pairs(planted, n_bands=8, rows_per_band=2)
+    path = str(tmp_path / "pairs")
+    table = lsh_candidate_pairs(
+        planted, n_bands=8, rows_per_band=2,
+        materialize="table", table_path=path,
+    )
+    as_set = lambda df: {(r.doc_id_a, r.doc_id_b) for r in df.collect()}
+    assert as_set(local) == as_set(table)
+    # the artifact is re-readable cold
+    assert as_set(spark.read.parquet(path)) == as_set(local)
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(planted, materialize="table")  # no path
