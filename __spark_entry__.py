@@ -340,6 +340,51 @@ def q_extract_pdf_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_html_wild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wild-HTML honesty gate: the hand-written realistic-layout corpus
+    (``ocr_spark.fixtures.wild_html`` — comment sections, ads, cookie
+    walls, entity salad, script/comment decoys, table layouts, misnested
+    tags, div soup) runs through the FULL distributed extraction pipeline;
+    the oracle is the hand-specified expected main text, verbatim, as a
+    VALUES table. Unlike the synthetic chrome model, the extractor cannot
+    co-evolve with these expectations — they are human judgments written
+    down first. Input is independent of sf_dir (the corpus is fixed)."""
+    import datetime
+
+    from ocr_spark.fixtures.wild_html import WILD_CASES
+    from ocr_spark.operators.extract_html import extract_pages
+    from ocr_spark.sources.pages import PAGES_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (f"wild://case/{fid}", ts, bytearray(html.encode("utf-8")), None, "en")
+        for fid, _name, html, _expected in WILD_CASES
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA).repartition(4)
+    out = extract_pages(pages)
+    return out.select(
+        F.regexp_extract("url", r"wild://case/(\d+)", 1)
+        .cast("long")
+        .alias("fixture_id"),
+        F.col("extracted_text").alias("text_out"),
+    )
+
+
+def _extract_html_wild_oracle_sql() -> str:
+    from ocr_spark.fixtures.wild_html import WILD_CASES
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",\n".join(
+        f"({fid}, {lit(expected)})" for fid, _n, _h, expected in WILD_CASES
+    )
+    return (
+        "SELECT CAST(fixture_id AS BIGINT) AS fixture_id, text_out "
+        f"FROM (VALUES {values}) AS t(fixture_id, text_out)"
+    )
+
+
 def q_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCR branch: render text → strip tensor → conv+CTC decode → text."""
     import numpy as np
@@ -949,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_hosts": q_extract_hosts,
         "curate_hosts": q_curate_hosts,
         "extract_quality": q_extract_quality,
+        "extract_html_wild": q_extract_html_wild,
         "dom_nodes": q_dom_nodes,
         "nodes_profile": q_nodes_profile,
         "extract_pdf": q_extract_pdf,
@@ -1460,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _dedup_embedding_oracle_sql(),
         "nodes_profile": _nodes_profile_oracle_sql(),
         "extract_quality": _extract_quality_oracle_sql(),
+        "extract_html_wild": _extract_html_wild_oracle_sql(),
         "text_compression": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,292 @@
+"""Wild-HTML fixture corpus: realistic messy page layouts with
+HAND-SPECIFIED expected main text, byte-identical.
+
+This is the extraction engine's honesty surface: unlike the synthetic
+chrome model (which the extractor could in principle co-evolve with),
+every fixture here is a hand-written page shape seen in real crawls —
+comment sections, inline ads, cookie walls, TOCs, nested tables, entity
+salad, HTML comments with decoy text, script/style decoys, misnested
+tags, old-school table layouts — and the expected text is a human
+judgment of what the main content IS, written down before running the
+extractor. The reference's boilerplate-strip behavior is the
+capability being mirrored (its fixtures are images; ours are DOM —
+``/root/reference/test_img.py`` exercises real inputs the model never
+trained on, this corpus is the DOM analog).
+
+Consumed by ``tests/test_html_realistic.py`` (per-case pytest) and the
+``extract_html_wild`` contract query (driver-facing: the oracle is the
+expected text, verbatim, as a VALUES table — the extractor must
+reproduce it byte-for-byte through the full distributed pipeline).
+
+Each case: (fixture_id, name, html, expected_text).
+"""
+
+from __future__ import annotations
+
+WILD_CASES: list[tuple[int, str, str, str]] = [
+    (
+        0,
+        "blog post with comments section",
+        """<body>
+        <header class="site-header"><a href="/">My Blog</a></header>
+        <article>
+        <h1>Why pipelines fail at scale</h1>
+        <p>The first reason pipelines fail is that partition keys are chosen before the data is understood, and the hot keys only show up in production traffic.</p>
+        <p>The second reason is shuffle amplification: every innocent groupBy doubles the bytes in flight until the cluster spends more time moving data than computing on it.</p>
+        </article>
+        <section class="comments"><h3>Comments</h3>
+          <div class="comment"><a href="/u/1">dave42</a> great post!</div>
+          <div class="comment"><a href="/u/2">ana</a> +1 totally agree with this</div>
+        </section>
+        <footer>&copy; blog 2024 <a href="/rss">RSS</a></footer>
+        </body>""",
+        "Why pipelines fail at scale\n\n"
+        "The first reason pipelines fail is that partition keys are chosen before the data is understood, and the hot keys only show up in production traffic.\n\n"
+        "The second reason is shuffle amplification: every innocent groupBy doubles the bytes in flight until the cluster spends more time moving data than computing on it.",
+    ),
+    (
+        1,
+        "news article with inline ad and share bar",
+        """<body>
+        <nav class="menu"><a href="/world">World</a><a href="/tech">Tech</a><a href="/sport">Sport</a></nav>
+        <main>
+        <article>
+        <p>City engineers announced on Tuesday that the harbour bridge will close for repairs over the coming weekend, affecting an estimated forty thousand commuters.</p>
+        <div class="ad advert"><a href="/sponsor">Sponsored: buy gadgets now at half price today only</a></div>
+        <p>Officials said the closure was scheduled to coincide with the holiday in order to minimise disruption, and that ferries would run extra services.</p>
+        </article>
+        <div class="share"><a href="/s/x">Share</a><a href="/s/fb">Post</a></div>
+        </main>
+        </body>""",
+        "City engineers announced on Tuesday that the harbour bridge will close for repairs over the coming weekend, affecting an estimated forty thousand commuters.\n\n"
+        "Officials said the closure was scheduled to coincide with the holiday in order to minimise disruption, and that ferries would run extra services.",
+    ),
+    (
+        2,
+        "docs page with TOC sidebar and code block",
+        """<body>
+        <aside class="sidebar"><ul>
+          <li><a href="#install">Install</a></li><li><a href="#usage">Usage</a></li>
+          <li><a href="#api">API</a></li><li><a href="#faq">FAQ</a></li>
+        </ul></aside>
+        <main class="content">
+        <h2>Getting started with the engine</h2>
+        <p>Install the package from the registry and create a session with the defaults; the engine configures adaptive execution and Arrow batching for you.</p>
+        <pre>pip install engine && engine init --profile default</pre>
+        <p>Every operator returns a DataFrame, so the whole pipeline composes with ordinary Spark code and the optimizer sees one plan.</p>
+        </main>
+        </body>""",
+        "Getting started with the engine\n\n"
+        "Install the package from the registry and create a session with the defaults; the engine configures adaptive execution and Arrow batching for you.\n\n"
+        "pip install engine && engine init --profile default\n\n"
+        "Every operator returns a DataFrame, so the whole pipeline composes with ordinary Spark code and the optimizer sees one plan.",
+    ),
+    (
+        3,
+        "newsletter interstitial splitting the article",
+        """<body><article>
+        <p>Long-haul measurements show the new routing layer cuts tail latency by a third across every region we tested, with the largest gains in the Pacific corridor.</p>
+        <div class="newsletter subscribe"><h4>Never miss an update</h4><a href="/signup">Subscribe to our newsletter</a></div>
+        <p>The rollout continues next quarter, when the remaining regions migrate off the legacy mesh and the old relays are finally decommissioned.</p>
+        </article></body>""",
+        "Long-haul measurements show the new routing layer cuts tail latency by a third across every region we tested, with the largest gains in the Pacific corridor.\n\n"
+        "The rollout continues next quarter, when the remaining regions migrate off the legacy mesh and the old relays are finally decommissioned.",
+    ),
+    (
+        4,
+        "cookie wall before content",
+        """<body>
+        <div class="cookie-banner popup">We value your privacy. <a href="/cookies">Manage preferences</a> <button>Accept all</button></div>
+        <main><article>
+        <p>Researchers described a fermentation process that turns agricultural waste into a packaging foam which composts fully within sixty days.</p>
+        </article></main>
+        </body>""",
+        "Researchers described a fermentation process that turns agricultural waste into a packaging foam which composts fully within sixty days.",
+    ),
+    (
+        5,
+        "listicle with li content (content list, not nav)",
+        """<body><main class="content"><article>
+        <h2>Three rules for reliable batch jobs</h2>
+        <ul>
+          <li>Make every task idempotent so a retry can never corrupt the output of a partial failure.</li>
+          <li>Write manifests after the data commit, never before, so resume logic trusts only completed work.</li>
+          <li>Bound every group so one pathological key cannot take down the task that processes it.</li>
+        </ul>
+        </article></main></body>""",
+        "Three rules for reliable batch jobs\n\n"
+        "Make every task idempotent so a retry can never corrupt the output of a partial failure.\n\n"
+        "Write manifests after the data commit, never before, so resume logic trusts only completed work.\n\n"
+        "Bound every group so one pathological key cannot take down the task that processes it.",
+    ),
+    (
+        6,
+        "wikipedia-style article with infobox",
+        """<body>
+        <div class="infobox sidebar"><table><tr><th>Born</th><td>1867</td></tr>
+        <tr><th>Field</th><td>Physics</td></tr></table></div>
+        <main class="content"><article>
+        <p>Marie Curie conducted pioneering research on radioactivity, a term she herself coined during her early investigations of uranium rays.</p>
+        <blockquote>Nothing in life is to be feared, it is only to be understood.</blockquote>
+        <p>She remains the only person to win Nobel Prizes in two different sciences, physics and chemistry, a distinction unmatched for over a century.</p>
+        </article></main>
+        </body>""",
+        "Marie Curie conducted pioneering research on radioactivity, a term she herself coined during her early investigations of uranium rays.\n\n"
+        "Nothing in life is to be feared, it is only to be understood.\n\n"
+        "She remains the only person to win Nobel Prizes in two different sciences, physics and chemistry, a distinction unmatched for over a century.",
+    ),
+    (
+        7,
+        "forum thread: posts are content, signatures and vote bars are not",
+        """<body>
+        <div class="post"><p>Has anyone benchmarked the new adaptive shuffle against the static planner on wide joins with heavy skew in production workloads?</p>
+        <div class="social vote-bar"><a href="/up">upvote</a> <a href="/down">downvote</a></div></div>
+        <div class="post"><p>We ran it for a month; tail latencies dropped by roughly forty percent once the skew splitter kicked in on the hot keys.</p>
+        <div class="share"><a href="/s">share</a></div></div>
+        </body>""",
+        "Has anyone benchmarked the new adaptive shuffle against the static planner on wide joins with heavy skew in production workloads?\n\n"
+        "We ran it for a month; tail latencies dropped by roughly forty percent once the skew splitter kicked in on the hot keys.",
+    ),
+    (
+        8,
+        "recipe page: ingredient list is content, rating widget is not",
+        """<body>
+        <div class="widget rating"><a href="/rate/5">rate this recipe five stars</a></div>
+        <main><article class="post">
+        <h2>Weeknight lentil soup</h2>
+        <ul>
+          <li>Two cups of red lentils rinsed well under running water until clear.</li>
+          <li>One diced onion softened slowly in olive oil with a pinch of salt.</li>
+        </ul>
+        <p>Simmer everything together for twenty five minutes and finish with lemon juice before serving hot.</p>
+        </article></main>
+        </body>""",
+        "Weeknight lentil soup\n\n"
+        "Two cups of red lentils rinsed well under running water until clear.\n\n"
+        "One diced onion softened slowly in olive oil with a pinch of salt.\n\n"
+        "Simmer everything together for twenty five minutes and finish with lemon juice before serving hot.",
+    ),
+    (
+        9,
+        "entity salad: named, decimal and hex entities decode in content",
+        """<body><main><article>
+        <p>Fish &amp; chips cost &pound;9 &#8212; that&#x27;s &quot;cheap&quot; for the seafront, &lt;according to locals&gt; who queue anyway.</p>
+        <p>Caf&eacute; au lait &gt; instant coffee; the caf&#233; on the corner proves it every single morning without fail.</p>
+        </article></main></body>""",
+        "Fish & chips cost £9 — that's \"cheap\" for the seafront, <according to locals> who queue anyway.\n\n"
+        "Café au lait > instant coffee; the café on the corner proves it every single morning without fail.",
+    ),
+    (
+        10,
+        "decoy text in comments, script, style and noscript is ignored",
+        """<body>
+        <!-- SIDEBAR: This commented-out paragraph used to be the old intro and must never appear in extraction output at all. -->
+        <script>var tracking = "This string inside a script tag looks exactly like a sentence but is code.";</script>
+        <style>.hero:before { content: "Decorative pseudo text that is styling, not content."; }</style>
+        <noscript>Please enable JavaScript to view this site properly.</noscript>
+        <main><article>
+        <p>The observatory confirmed that the comet will be visible to the naked eye for eleven nights beginning late next week.</p>
+        </article></main>
+        </body>""",
+        "The observatory confirmed that the comet will be visible to the naked eye for eleven nights beginning late next week.",
+    ),
+    (
+        11,
+        "old-school table layout: content lives in a td",
+        """<body>
+        <table width="100%"><tr>
+        <td class="leftnav"><a href="/home">Home</a><br><a href="/about">About</a><br><a href="/links">Links</a></td>
+        <td class="content">
+        <p>The historical society voted to restore the mill wheel using oak beams cut from the same valley as the originals.</p>
+        <p>Volunteers will document each step so that future repairs can follow the traditional joinery methods precisely.</p>
+        </td>
+        <td class="rightrail"><a href="/ad1">Visit our sponsor</a></td>
+        </tr></table>
+        </body>""",
+        "The historical society voted to restore the mill wheel using oak beams cut from the same valley as the originals.\n\n"
+        "Volunteers will document each step so that future repairs can follow the traditional joinery methods precisely.",
+    ),
+    (
+        12,
+        "data table inside the article is content",
+        """<body><main><article>
+        <p>The census compared the three harbour towns across a decade of ferry traffic and found steady growth in each.</p>
+        <table class="data">
+        <tr><td>Northport saw passenger numbers double after the new terminal opened to international routes.</td></tr>
+        <tr><td>Southquay grew more slowly but kept the highest satisfaction scores in every yearly survey.</td></tr>
+        </table>
+        </article></main></body>""",
+        "The census compared the three harbour towns across a decade of ferry traffic and found steady growth in each.\n\n"
+        "Northport saw passenger numbers double after the new terminal opened to international routes.\n\n"
+        "Southquay grew more slowly but kept the highest satisfaction scores in every yearly survey.",
+    ),
+    (
+        13,
+        "misnested and unclosed tags still yield the article",
+        """<body>
+        <div class="promo"><a href="/deal">Flash sale ends tonight</a></div>
+        <main><article>
+        <p>The engineers traced the outage to a <b>single <i>misconfigured</b> retry</i> policy that amplified traffic during the failover.
+        <p>A staged rollback restored service in nine minutes, and the postmortem recommends jittered backoff as the default everywhere.
+        </article></main>
+        </body>""",
+        "The engineers traced the outage to a single misconfigured retry policy that amplified traffic during the failover.\n\n"
+        "A staged rollback restored service in nine minutes, and the postmortem recommends jittered backoff as the default everywhere.",
+    ),
+    (
+        14,
+        "figure with figcaption: caption is content, credit line is not",
+        """<body><main><article>
+        <p>Restorers uncovered a second painting beneath the portrait during routine infrared imaging of the gallery's oldest acquisition.</p>
+        <figure>
+        <img src="/img/xray.jpg" alt="">
+        <figcaption>Infrared scan showing the hidden seascape beneath the portrait's varnish layers.</figcaption>
+        </figure>
+        <div class="credit meta"><a href="/photog">Photo: gallery archive</a></div>
+        </article></main></body>""",
+        "Restorers uncovered a second painting beneath the portrait during routine infrared imaging of the gallery's oldest acquisition.\n\n"
+        "Infrared scan showing the hidden seascape beneath the portrait's varnish layers.",
+    ),
+    (
+        15,
+        "div soup: deeply nested wrappers around one real article",
+        """<body>
+        <div id="root"><div class="app"><div class="page-wrap"><div class="grid">
+        <div class="row"><div class="col header-zone"><a href="/">SiteName</a> <a href="/login">Log in</a></div></div>
+        <div class="row"><div class="col main-zone"><div class="card"><div class="card-body">
+        <p>Wind farms off the northern coast generated a record share of the grid's power during the autumn storm season.</p>
+        <p>Analysts credit the new turbine blades, which keep generating in gusts that previously forced shutdowns.</p>
+        </div></div></div></div>
+        <div class="row"><div class="col footer-zone"><a href="/terms">Terms</a> <a href="/privacy">Privacy</a></div></div>
+        </div></div></div></div>
+        </body>""",
+        "Wind farms off the northern coast generated a record share of the grid's power during the autumn storm season.\n\n"
+        "Analysts credit the new turbine blades, which keep generating in gusts that previously forced shutdowns.",
+    ),
+    (
+        16,
+        "pre block with html-looking code is preserved verbatim",
+        """<body><main class="content">
+        <h2>Escaping markup in templates</h2>
+        <p>Template engines must escape user input before interpolation, otherwise stored markup executes when the page renders.</p>
+        <pre>&lt;div class="user"&gt;{{ name }}&lt;/div&gt;</pre>
+        </main></body>""",
+        "Escaping markup in templates\n\n"
+        "Template engines must escape user input before interpolation, otherwise stored markup executes when the page renders.\n\n"
+        '<div class="user">{{ name }}</div>',
+    ),
+    (
+        17,
+        "repeated boilerplate paragraph does not outrank the article",
+        """<body>
+        <div class="banner top"><a href="/subscribe">Subscribe today and save forty percent on an annual digital pass</a></div>
+        <main><article>
+        <p>Marine biologists tagged forty juvenile turtles this season and recorded the earliest northward migration in the study's history.</p>
+        <p>Warmer currents appear to be shifting the feeding grounds, and the team will expand satellite coverage next year.</p>
+        </article></main>
+        <div class="banner bottom"><a href="/subscribe">Subscribe today and save forty percent on an annual digital pass</a></div>
+        </body>""",
+        "Marine biologists tagged forty juvenile turtles this season and recorded the earliest northward migration in the study's history.\n\n"
+        "Warmer currents appear to be shifting the feeding grounds, and the team will expand satellite coverage next year.",
+    ),
+]
