@@ -285,12 +285,35 @@ def kmeans_fit(
     d = cents.shape[1]
     slim = embeddings.select(vec_col)
     for _ in range(iters):
-        partials = _centroid_partials(slim, cents, vec_col).collect()
+        # tree-reduce the per-partition partials on the EXECUTORS before
+        # anything reaches the driver: groupBy(cluster) merges the
+        # partitions×k partial rows down to exactly k rows, so the driver
+        # collect is k×(d+1) values regardless of partition count. (The
+        # naive collect-all-partials spelling is partitions×k×d through
+        # the driver per iteration — fine at P≈10³, but a 100-TB IVF at
+        # k=2^16, P=10^5 would melt it.) Summation order is pinned to
+        # partition-id order via array_sort(struct(pid, s)) so float
+        # accumulation stays bit-deterministic across reruns.
+        merged = (
+            _centroid_partials(slim, cents, vec_col)
+            .groupBy("cluster")
+            .agg(
+                F.sum("n").alias("n"),
+                F.expr(
+                    f"aggregate("
+                    f"  transform(array_sort(collect_list(struct(pid, s))),"
+                    f"            x -> x.s),"
+                    f"  array_repeat(cast(0 as double), {d}),"
+                    f"  (acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+                ).alias("s"),
+            )
+            .collect()
+        )
         sums = np.zeros((k, d), dtype=np.float64)
         counts = np.zeros(k, dtype=np.int64)
-        for r in partials:
-            sums[r.cluster] += np.asarray(r.s, dtype=np.float64)
-            counts[r.cluster] += r.n
+        for r in merged:
+            sums[r.cluster] = np.asarray(r.s, dtype=np.float64)
+            counts[r.cluster] = r.n
         new = cents.copy()  # empty clusters keep their previous centroid
         nz = counts > 0
         new[nz] = sums[nz] / counts[nz, None]
@@ -302,9 +325,12 @@ def _centroid_partials(
     embeddings: DataFrame, centroids, vec_col: str = "embedding"
 ) -> DataFrame:
     """One fused assign-and-reduce pass: per partition, one row per
-    non-empty cluster — (cluster, n, s[d] partial sum). Zero shuffles."""
+    non-empty cluster — (cluster, pid, n, s[d] partial sum). Zero shuffles
+    in this pass; ``pid`` (the physical partition id) lets the downstream
+    tree-reduce pin float summation to partition order."""
     import numpy as np
     import pandas as pd
+    from pyspark import TaskContext
 
     cents = np.asarray(centroids, dtype=np.float64)
     cnorm2 = (cents * cents).sum(axis=1)
@@ -326,16 +352,18 @@ def _centroid_partials(
             counts += np.bincount(asg, minlength=k)
         nz = np.flatnonzero(counts)
         if len(nz):
+            pid = TaskContext.get().partitionId()
             yield pd.DataFrame(
                 {
                     "cluster": nz.astype("int32"),
+                    "pid": np.full(len(nz), pid, dtype="int32"),
                     "n": counts[nz],
                     "s": [sums[c].tolist() for c in nz],
                 }
             )
 
     return embeddings.mapInPandas(
-        fn, schema="cluster int, n long, s array<double>"
+        fn, schema="cluster int, pid int, n long, s array<double>"
     )
 
 

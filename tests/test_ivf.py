@@ -61,3 +61,20 @@ def test_ivf_recall_vs_exact(spark, emb, centroids):
     aj = approx.select("query_id", "vec_id", "cos")
     joined = aj.join(ej, ["query_id", "vec_id"])
     assert joined.filter(F.col("cos") != F.col("ec")).count() == 0
+
+
+def test_kmeans_tree_reduce_high_partition_count(spark):
+    """The executor-side tree-reduce collects exactly k rows however many
+    partitions feed it; centroids are bit-deterministic across reruns at a
+    forced-high partition count."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import kmeans_fit
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).repartition(64)
+    c1 = kmeans_fit(emb, k=8, iters=3)
+    c2 = kmeans_fit(emb, k=8, iters=3)
+    assert c1.shape == (8, emb.select("embedding").head()[0].__len__())
+    assert np.array_equal(c1, c2)  # bit-identical, not merely close
