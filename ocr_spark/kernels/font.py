@@ -45,6 +45,15 @@ MAX_GLYPHS = MAX_LINE_WIDTH // GLYPH_W  # 64 cells per 384-wide strip
 # ≤ 0.62 — τ sits mid-margin.
 BLANK_TAU = 0.72
 
+# temperature applied to NCC scores before the beam decoder's softmax:
+# correlations live in [-1, 1], so raw softmax over 95 classes is nearly
+# uniform (a 0.23 NCC gap is only a 1.26× probability ratio) and blank
+# alignments swamp every labeling. ×20 turns the same gap into ~e^4.6 —
+# measured as the smallest scale where beam matches greedy everywhere
+# greedy is right (scripts/font_margin_report.py methodology; greedy is
+# invariant to the scale, beam needs the calibration).
+BEAM_LOGIT_SCALE = 20.0
+
 # blur-variant scales in the template bank: each glyph is also matched in
 # the form it takes after s×-upscale + bilinear-downscale (the multi-
 # template matched-filter move — anti-aliased strokes correlate with the
@@ -386,9 +395,38 @@ def font_line_logits(strips: np.ndarray) -> np.ndarray:
 
 
 def recognize_lines_font(
-    strips: np.ndarray, widths: np.ndarray | list[int]
+    strips: np.ndarray,
+    widths: np.ndarray | list[int],
+    decoder: str = "greedy",
+    beam_width: int = 8,
 ) -> list[str]:
-    """strips [B, 8, 384] + true widths → decoded texts via NCC + CTC."""
+    """strips [B, 8, 384] + true widths → decoded texts via NCC + CTC.
+
+    ``decoder="greedy"`` (default) is the reference decode semantics;
+    ``"beam"`` runs CTC prefix beam search (``kernels.ctc.ctc_beam_decode``)
+    per line — it sums probability over ALL alignments of a labeling, so
+    summing matters whenever a labeling has multiple alignments. NOTE the
+    honest caveat for THIS geometry: the stride-6 windowing gives every
+    glyph exactly one frame, so each labeling has a unique alignment and
+    beam provably cannot beat greedy here — measured equal at every σ
+    (tests/test_font_ocr.py::test_beam_never_worse_than_greedy). The
+    option earns its keep on multi-frame-per-symbol logits
+    (tests/test_ctc.py::test_beam_recovers_mass_split_across_alignments)
+    and is wired so a finer-stride windowing inherits it. Scores are
+    tempered by ``BEAM_LOGIT_SCALE`` before the softmax. Cost is
+    O(T·C·beam) Python per line vs one vectorized argmax.
+    """
     logits = font_line_logits(strips)
     seq_lens = np.asarray(widths, dtype=np.int64) // GLYPH_W
+    if decoder == "beam":
+        from ocr_spark.kernels.ctc import ctc_beam_decode
+
+        return [
+            ctc_beam_decode(
+                logits[i] * BEAM_LOGIT_SCALE, int(seq_lens[i]), beam_width
+            )
+            for i in range(logits.shape[0])
+        ]
+    if decoder != "greedy":
+        raise ValueError(f"unknown decoder {decoder!r}")
     return ctc_greedy_decode_batch(logits, seq_lens)

@@ -52,33 +52,41 @@ def recognize_line_strips(lines: DataFrame) -> DataFrame:
     )
 
 
-def _recognize_font_batches(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    from ocr_spark.kernels.font import recognize_lines_font
+def _recognize_font_batches(decoder: str = "greedy"):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.kernels.font import recognize_lines_font
 
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        strips = np.stack(
-            [
-                np.asarray(s, dtype=np.float32).reshape(LINE_HEIGHT, MAX_LINE_WIDTH)
-                for s in pdf["strip"]
-            ]
-        )
-        texts = recognize_lines_font(strips, pdf["width"].to_numpy(np.int64))
-        yield pd.DataFrame(
-            {"url": pdf["url"], "line_id": pdf["line_id"], "text": texts}
-        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            strips = np.stack(
+                [
+                    np.asarray(s, dtype=np.float32).reshape(
+                        LINE_HEIGHT, MAX_LINE_WIDTH
+                    )
+                    for s in pdf["strip"]
+                ]
+            )
+            texts = recognize_lines_font(
+                strips, pdf["width"].to_numpy(np.int64), decoder=decoder
+            )
+            yield pd.DataFrame(
+                {"url": pdf["url"], "line_id": pdf["line_id"], "text": texts}
+            )
+
+    return fn
 
 
-def recognize_line_strips_font(lines: DataFrame) -> DataFrame:
+def recognize_line_strips_font(
+    lines: DataFrame, decoder: str = "greedy"
+) -> DataFrame:
     """Font-atlas NCC recognizer over a line-strip table — same contract
     as ``recognize_line_strips`` but robust to anti-aliased scaling and
     additive noise (``kernels.font``): the strips need not be rendered
-    from the engine's own glyph code."""
+    from the engine's own glyph code. ``decoder="beam"`` switches the CTC
+    collapse to prefix beam search for the high-noise regime."""
     return lines.select("url", "line_id", "strip", "width").mapInPandas(
-        _recognize_font_batches, schema=OCR_TEXT_SCHEMA
+        _recognize_font_batches(decoder), schema=OCR_TEXT_SCHEMA
     )
 
 

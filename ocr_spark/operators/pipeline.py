@@ -187,11 +187,18 @@ def _recognize_mixed(recognizer: str = "conv"):
     discipline), 'html' rows pass through untouched. Strips are dropped
     here, before the shuffle. ``recognizer``: "conv" = the code-glyph
     matched filter (``kernels.ocr``), "font" = the bitmap-atlas NCC
-    recognizer (``kernels.font``) for anti-aliased / noisy imagery."""
+    recognizer (``kernels.font``) for anti-aliased / noisy imagery,
+    "font_beam" = the same NCC scores decoded by CTC prefix beam search
+    (alignment-summing; the high-noise option)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if recognizer == "font":
-            from ocr_spark.kernels.font import recognize_lines_font as rec
+        if recognizer in ("font", "font_beam"):
+            from ocr_spark.kernels.font import recognize_lines_font
+
+            decoder = "beam" if recognizer == "font_beam" else "greedy"
+
+            def rec(strips, widths):
+                return recognize_lines_font(strips, widths, decoder=decoder)
         else:
             from ocr_spark.kernels.ocr import recognize_lines as rec
 

@@ -169,3 +169,56 @@ def test_multi_strip_chunk_boundary_repeat():
 )
 def test_property_multi_strip_full_vocab_roundtrip(text, seed):
     assert _roundtrip_multi(text, scale=2.0, sigma=0.1, seed=seed) == text
+
+
+# ---- round 3: CTC prefix-beam decoder option on the font path ----
+
+
+def test_beam_never_worse_than_greedy():
+    """Across the noise sweep (including past the design margin), beam
+    exact-match rate >= greedy's. In THIS stride-6 geometry each glyph is
+    one frame, so every labeling has a unique alignment and beam == greedy
+    wherever greedy is right — the alignment-summing advantage needs
+    multi-frame symbols (proven on hand-built logits in test_ctc.py)."""
+    import numpy as np
+
+    from ocr_spark.kernels.font import (
+        recognize_lines_font,
+        render_distorted_line,
+    )
+
+    rng = __import__("numpy").random.default_rng(11)
+    texts = []
+    for _ in range(40):
+        t = "".join(CHAR_VECTOR[int(rng.integers(94))] for _ in range(18))
+        texts.append("".join(c for j, c in enumerate(t) if j == 0 or t[j - 1] != c))
+    for sigma in (0.1, 0.3, 0.35):
+        g_ok = b_ok = 0
+        for i, t in enumerate(texts):
+            strip, w = render_distorted_line(t, scale=2.0, sigma=sigma, seed=i)
+            g = recognize_lines_font(strip[None], [w])[0]
+            b = recognize_lines_font(strip[None], [w], decoder="beam")[0]
+            g_ok += g == t
+            b_ok += b == t
+        assert b_ok >= g_ok, (sigma, g_ok, b_ok)
+
+
+def test_extract_full_font_beam_recognizer(spark):
+    """The fused pipeline accepts recognizer='font_beam' and matches the
+    greedy font path on the noisy fixture corpus."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.pipeline import extract_full
+    from ocr_spark.sources.pages import pages_with_noisy_font_images_from_documents
+
+    pages = pages_with_noisy_font_images_from_documents(
+        spark, "/root/testdata/sf0.001"
+    ).limit(60)
+    greedy = extract_full(pages, recognizer="font")
+    beam = extract_full(pages, recognizer="font_beam")
+    j = greedy.alias("g").join(beam.alias("b"), "url")
+    n = j.count()
+    same = j.filter(
+        F.col("g.extracted_text") == F.col("b.extracted_text")
+    ).count()
+    assert n > 0 and same == n, (same, n)
