@@ -70,10 +70,6 @@ def _lines_of_doc(html_text: str):
             payload = base64.b64decode(m.group(3))
         except Exception:
             continue  # bad padding/length: skip the image, never the task
-        if len(payload) == 0 and width != 0:
-            # declared nonzero width with no data = malformed, skip (an
-            # empty payload is legitimate ONLY for a zero-width line)
-            continue
         if payload.startswith(PNG_MAGIC):
             # real container: dimensions come from the IHDR, not the
             # attributes (bytes cannot lie; attributes can)
@@ -90,6 +86,17 @@ def _lines_of_doc(html_text: str):
                 np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
                 / 255.0
             )
+        if raw.size == 0:
+            # uniform empty-payload rule for BOTH geometry branches (and
+            # both containers): no pixel data with a declared nonzero
+            # width is malformed → skip; a zero-width line is a
+            # legitimately detected-but-empty region and keeps its slot
+            # in reading order (an empty recognized line still separates
+            # its neighbors — the extract_full oracle semantics)
+            if width != 0:
+                continue
+            yield i, np.zeros((LINE_HEIGHT, MAX_LINE_WIDTH), np.float32), 0
+            continue
         if height == LINE_HEIGHT:
             if raw.size != LINE_HEIGHT * MAX_LINE_WIDTH:
                 continue  # malformed payload: skip, never crash

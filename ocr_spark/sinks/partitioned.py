@@ -116,20 +116,22 @@ def extract_and_write(
     pages: DataFrame,
     out_dir: str,
     resume: bool = True,
-    max_dates_per_write: int | None = None,
+    max_dates_per_write: int | None = 30,
 ) -> dict:
     """Full production job: extract → salt-partitioned write → lineage →
     manifest commit, resumable at crawl_date granularity.
 
-    Pending dates are written in BATCHES (default: all pending dates in
-    one dynamic-partition-overwrite job — a 365-date backfill issues one
-    data write, one lineage write, one manifest append, not 365×3
-    sequential jobs). The commit unit stays the crawl_date: manifest rows
-    are per-date, and a crash mid-batch commits nothing for that batch, so
+    Pending dates are written in BATCHES of ``max_dates_per_write``
+    (default 30 — about a month per commit, so a crash late in a 365-date
+    backfill loses at most one month's work, not the whole run; an
+    unconfigured long backfill must not silently adopt the riskiest
+    granularity). The commit unit stays the crawl_date: manifest rows are
+    per-date, and a crash mid-batch commits nothing for that batch, so
     restart re-extracts exactly the uncommitted dates (idempotent — the
-    dynamic overwrite replaces any partial partitions). Set
-    ``max_dates_per_write`` to bound how much work a single crash can
-    lose on very long backfills.
+    dynamic overwrite replaces any partial partitions). Raise
+    ``max_dates_per_write`` (or pass ``None`` for one all-dates job: one
+    data write, one lineage write, one manifest append) when per-job
+    fixed costs dominate and the operator accepts the crash-loss window.
 
     Returns {"dates_processed": [...], "dates_skipped": [...]}.
     """

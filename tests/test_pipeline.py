@@ -93,3 +93,37 @@ def test_empty_recognized_line_keeps_its_slot(spark):
     }
     assert conv_out["u:conv"] == expected, repr(conv_out)
     assert font_out["u:font"] == expected, repr(font_out)
+
+
+def test_empty_payload_rule_uniform_across_geometries():
+    """Empty pixel data behaves identically whether or not data-height is
+    declared and whichever container carries it: width 0 keeps a
+    zero-width line slot; nonzero width with no data is malformed and
+    skipped."""
+    import base64
+
+    from ocr_spark.kernels.png import encode_png
+    import numpy as np
+
+    from ocr_spark.operators.pipeline import _lines_of_doc
+
+    empty_png_h8 = base64.b64encode(
+        encode_png(np.zeros((8, 0), dtype=np.uint8))
+    ).decode()
+    empty_png_h16 = base64.b64encode(
+        encode_png(np.zeros((16, 0), dtype=np.uint8))
+    ).decode()
+    html = (
+        # zero-width, default height: slot kept
+        '<img data-width="0" data-strip="">'
+        # zero-width, scaled height: slot kept (was the asymmetric case)
+        '<img data-width="0" data-height="16" data-strip="">'
+        # nonzero width with empty payload: malformed, skipped, both ways
+        '<img data-width="12" data-strip="">'
+        '<img data-width="12" data-height="16" data-strip="">'
+        # zero-width PNG containers, both heights: slot kept
+        f'<img data-width="0" data-strip="{empty_png_h8}">'
+        f'<img data-width="0" data-height="16" data-strip="{empty_png_h16}">'
+    )
+    lines = list(_lines_of_doc(html))
+    assert [(i, w) for i, _s, w in lines] == [(0, 0), (1, 0), (4, 0), (5, 0)]
