@@ -274,10 +274,18 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
 
 
 def decode_audio(payload: bytes, sample_rate: int, n_samples: int) -> np.ndarray:
-    """STUB audio codec: deterministic fake waveform in [-1, 1] from the
-    payload bytes (sha256-seeded), ``n_samples`` long. The real seam swaps
-    this for e.g. soundfile/librosa decode; signature and the float32
-    1-D contract are what downstream operators rely on."""
+    """Audio codec seam: WAV (RIFF/PCM) payloads decode FOR REAL via the
+    engine's own container parser (``kernels.wav`` — 8/16-bit PCM, any
+    channel count, averaged to mono; declared meta is advisory, the RIFF
+    header wins). Other containers (mp3/ogg — codecs not in this
+    container) keep the deterministic sha256-seeded fake of ``n_samples``,
+    honestly labeled; the float32 1-D [-1, 1] contract is identical
+    either way."""
+    from ocr_spark.kernels.wav import WAV_MAGIC, decode_wav
+
+    if payload.startswith(WAV_MAGIC):
+        wave, _sr = decode_wav(payload)
+        return wave
     digest = hashlib.sha256(payload + b"#audio").digest()
     seed = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
     reps = int(np.ceil(n_samples / len(seed)))
@@ -315,8 +323,13 @@ def sample_audio_windows(
                 if payload is None or meta is None:
                     continue
                 sr = int(meta["sample_rate"] or 16000)
-                n_samples = sr  # one fake second of audio
-                wave = decode_audio(bytes(payload), sr, n_samples)
+                try:
+                    # real WAV: length comes from the container; stub
+                    # path: one fake second at the declared rate
+                    wave = decode_audio(bytes(payload), sr, sr)
+                except ValueError:
+                    continue  # corrupt container: skip, never crash
+                n_samples = len(wave)
                 for w, s0 in enumerate(range(0, n_samples - window_samples + 1, hop)):
                     win = wave[s0 : s0 + window_samples]
                     ids.append(int(mid))
@@ -343,10 +356,12 @@ def sample_audio_windows(
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests. IMAGE rows carry REAL
     PNG payloads (16×16 grayscale, pixels sha256-derived, encoded by
-    ``kernels.png``) so the decode path exercises an actual container
-    format; audio/video rows keep raw seeded bytes (those codecs remain
-    stubbed)."""
+    ``kernels.png``) and AUDIO rows carry REAL 16-bit PCM WAVs (one
+    16 kHz second, sha256-derived waveform, ``kernels.wav``) so both
+    decode paths exercise actual container formats; video rows keep raw
+    seeded bytes (that codec remains stubbed)."""
     from ocr_spark.kernels.png import encode_png
+    from ocr_spark.kernels.wav import encode_wav
 
     rows = []
     for i in range(n):
@@ -355,6 +370,10 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         if kind == "image":
             pix = np.frombuffer(seed, dtype=np.uint8)[: 16 * 16].reshape(16, 16)
             payload = encode_png(pix)
+        elif kind == "audio":
+            base = np.frombuffer(seed, dtype=np.uint8).astype(np.float32)
+            wave = (np.tile(base, 16000 // len(base) + 1)[:16000] / 127.5) - 1.0
+            payload = encode_wav(wave, sample_rate=16000)
         else:
             payload = seed
         rows.append(

@@ -1,0 +1,71 @@
+"""WAV codec: roundtrips, stereo downmix, malformed inputs, and the
+decode_audio seam sniffing."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels.wav import decode_wav, encode_wav
+
+
+def _tone(n=1600, sr=16000):
+    t = np.arange(n) / sr
+    return (0.7 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+
+@pytest.mark.parametrize("bits,tol", [(16, 1.0 / 32767), (8, 1.0 / 127)])
+def test_roundtrip_quantization_bound(bits, tol):
+    x = _tone()
+    y, sr = decode_wav(encode_wav(x, 16000, bits=bits))
+    assert sr == 16000
+    assert len(y) == len(x)
+    assert np.abs(y - x).max() <= tol + 1e-7
+
+
+def test_stereo_downmix():
+    """Hand-built 2-channel PCM: decode averages channels to mono."""
+    left = np.array([1000, -1000, 500], dtype="<i2")
+    right = np.array([3000, 1000, -500], dtype="<i2")
+    inter = np.empty(6, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    data = inter.tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    y, sr = decode_wav(wav)
+    want = (left.astype(np.float32) + right) / 2 / 32767.0
+    assert sr == 8000
+    assert np.allclose(y, want, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:10],  # truncated header
+        lambda b: b"OGGS" + b[4:],  # wrong magic
+        lambda b: b[:40],  # truncated mid-chunk
+        lambda b: b.replace(b"fmt ", b"xxx "),  # missing fmt
+    ],
+)
+def test_malformed_raises(mutate):
+    wav = encode_wav(_tone())
+    with pytest.raises(ValueError):
+        decode_wav(mutate(wav))
+
+
+def test_decode_audio_seam_sniffs_wav():
+    from ocr_spark.operators.multimodal import decode_audio
+
+    x = _tone()
+    y = decode_audio(encode_wav(x), 999, 5)  # advisory meta lies
+    assert len(y) == len(x)  # RIFF wins
+    assert np.abs(y - x).max() < 1e-3
+    fake = decode_audio(b"not audio", 16000, 256)
+    assert fake.shape == (256,)  # stub path intact
