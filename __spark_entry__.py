@@ -608,6 +608,18 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_band_pairs(_docs(spark, sf_dir), n_bands=8)
 
 
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document chunk dedup: 8-word chunks repeated in
+    ≥2 documents are boilerplate and drop out; survivors reassemble in
+    document order. The oracle reproduces chunking, corpus-wide distinct-
+    doc frequency, the threshold and reassembly in SQL."""
+    from ocr_spark.operators.dedup import remove_boilerplate_chunks
+
+    return remove_boilerplate_chunks(
+        _docs(spark, sf_dir), chunk_words=8, min_docs=2
+    )
+
+
 def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage dedup pipeline: LSH banding candidates (recall stage) →
     exact n-gram Jaccard verification of exactly those pairs (precision
@@ -722,6 +734,36 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.textstats import repetition_stats
 
     return repetition_stats(_docs(spark, sf_dir))
+
+
+# the deterministic PII suffix both sides append to every document before
+# redaction: synthesized (the corpus carries no real PII), doc_id-derived,
+# identically computable in Spark and the DuckDB oracle
+_PII_SUFFIX_SPARK = (
+    "concat(text, ' Contact doc', CAST(doc_id AS STRING),"
+    " '@crawl.example.com from 10.2.', CAST(doc_id % 256 AS STRING),"
+    " '.9 or 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-0199.')"
+)
+_PII_SUFFIX_SQL = (
+    "text || ' Contact doc' || CAST(doc_id AS VARCHAR)"
+    " || '@crawl.example.com from 10.2.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.9 or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-0199.'"
+)
+
+
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: every doc gets a deterministic doc_id-derived
+    PII suffix (email + IPv4 + phone — the corpus itself carries none),
+    then ``redact_pii`` replaces each kind with a typed token and counts
+    matches. Map-only JVM regexp stage; the oracle reproduces the suffix
+    construction, the counts, and the exact redacted text in SQL."""
+    from ocr_spark.operators.textstats import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_SUFFIX_SPARK).alias("text")
+    )
+    return redact_pii(docs)
 
 
 def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,6 +1049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh": q_dedup_lsh,
         "dedup_verified": q_dedup_verified,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "text_redact": q_text_redact,
+        "dedup_chunks": q_dedup_chunks,
         "dedup_embedding": q_dedup_embedding,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1502,6 +1546,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
+        "text_redact": _text_redact_oracle_sql(),
+        "dedup_chunks": _dedup_chunks_oracle_sql(),
         "sim_lsh": _sim_lsh_oracle_sql(),
         "dedup_embedding": _dedup_embedding_oracle_sql(),
         "nodes_profile": _nodes_profile_oracle_sql(),
@@ -1712,6 +1758,67 @@ def _extract_quality_oracle_sql() -> str:
                round(1.0 - CAST(n_chars AS DOUBLE)
                      / (n_chars + chrome_chars), 6) AS boilerplate_ratio
         FROM per_doc
+    """
+
+
+def _dedup_chunks_oracle_sql() -> str:
+    """DuckDB twin of ``dedup.remove_boilerplate_chunks`` (8-word chunks,
+    min_docs=2): per-row ``unnest(range(...))`` expands chunk positions,
+    bracket slicing rebuilds each chunk, distinct-doc frequency gates the
+    threshold, ``string_agg(... ORDER BY pos)`` reassembles."""
+    return f"""
+        WITH w AS (SELECT doc_id, {_DWORDS} AS words FROM documents),
+        c AS (
+          SELECT doc_id, words,
+                 unnest(range(CAST(ceil(len(words) / 8.0) AS BIGINT))) AS pos
+          FROM w
+        ),
+        c2 AS (
+          SELECT doc_id, pos,
+                 array_to_string(words[pos * 8 + 1 : pos * 8 + 8], ' ')
+                     AS chunk
+          FROM c
+        ),
+        f AS (SELECT chunk, count(DISTINCT doc_id) AS nd
+              FROM c2 GROUP BY chunk),
+        kept AS (SELECT c2.* FROM c2 JOIN f USING (chunk) WHERE nd < 2),
+        re AS (
+          SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_chunks FROM c2 GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(re.clean_text, '') AS clean_text,
+               CAST(coalesce(tot.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(coalesce(tot.n_chunks, 0) - coalesce(re.n_kept, 0)
+                    AS BIGINT) AS n_removed
+        FROM documents d
+        LEFT JOIN tot USING (doc_id)
+        LEFT JOIN re USING (doc_id)
+    """
+
+
+def _text_redact_oracle_sql() -> str:
+    """DuckDB twin of ``q_text_redact``: same suffix construction, counts
+    via regexp_extract_all on the PRE-redaction text, replacement chained
+    in the same pattern order ('g' flag = Spark's replace-all default).
+    Patterns are shared literals from ``PII_PATTERNS`` — DuckDB standard
+    strings keep backslashes raw, so the regex crosses dialects intact."""
+    from ocr_spark.operators.textstats import PII_PATTERNS
+
+    cleaned = "text"
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        cleaned = f"regexp_replace({cleaned}, '{pat}', '{token}', 'g')"
+    return f"""
+        WITH t AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS text FROM documents)
+        SELECT doc_id, {cleaned} AS clean_text, {', '.join(counts)}
+        FROM t
     """
 
 

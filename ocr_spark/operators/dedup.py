@@ -460,6 +460,78 @@ def simhash_near_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def remove_boilerplate_chunks(
+    docs: DataFrame, chunk_words: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """CCNet/RefinedWeb-style cross-document chunk dedup: split each doc
+    into fixed ``chunk_words``-word chunks, count the DISTINCT documents
+    containing each chunk text corpus-wide, drop every chunk that appears
+    in ≥ ``min_docs`` documents (repeated across documents = boilerplate:
+    nav text, legal footers, subscribe prompts survive main-content
+    extraction on some sites), and reassemble the surviving chunks in
+    document order.
+
+    Physical shape (the standard line-dedup shape at corpus scale): one
+    chunk explode (text bytes move once), a frequency aggregation keyed on
+    the 16-byte md5 of the chunk (count-distinct doc shuffle carries
+    (hash, doc_id), never the text), a hash equi-join back, and one
+    slim-row reassembly groupBy. No self-joins, no windows over the
+    corpus. Returns (doc_id, clean_text, n_chunks, n_removed) — docs whose
+    chunks are ALL boilerplate come back with clean_text = ''.
+    """
+    cw = int(chunk_words)
+    chunks_expr = (
+        f"CASE WHEN size({_WORDS}) = 0 THEN array() "
+        # sequence(0, -1) would yield DESCENDING [0, -1], not empty —
+        # the guarded spelling (engine rule: never unguarded sequence)
+        f"ELSE transform(sequence(0, CAST(ceil(size({_WORDS}) / {cw}.0) "
+        f"AS INT) - 1), i -> array_join(slice({_WORDS}, i * {cw} + 1, {cw})"
+        f", ' ')) END"
+    )
+    exploded = (
+        ensure_min_partitions(docs)
+        .select("doc_id", F.posexplode(F.expr(chunks_expr)).alias("pos", "chunk"))
+        .withColumn("h", F.md5("chunk"))
+    )
+    exploded = exploded.persist()
+    try:
+        freq = exploded.groupBy("h").agg(
+            F.countDistinct("doc_id").alias("nd")
+        )
+        boiler = freq.filter(F.col("nd") >= min_docs).select("h")
+        kept = exploded.join(boiler, "h", "left_anti")
+        reassembled = kept.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+        totals = exploded.groupBy("doc_id").agg(
+            F.count("*").alias("n_chunks")
+        )
+        out = (
+            docs.select("doc_id")
+            .join(totals, "doc_id", "left")
+            .join(reassembled, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+                (
+                    F.coalesce("n_chunks", F.lit(0))
+                    - F.coalesce("n_kept", F.lit(0))
+                ).cast("long").alias("n_removed"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        exploded.unpersist()
+
+
 def keep_representatives(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Given dup pairs (a < b), drop every doc that appears as the larger id
     of any pair — the min-id representative of each dup cluster survives.

@@ -241,3 +241,41 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     """
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+# PII redaction patterns — deliberately conservative spellings that parse
+# identically in Java regex (Spark) and RE2-ish engines (DuckDB oracle):
+# no lookarounds, no backreferences, explicit character classes only.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: replace emails / IPv4 addresses / NNN-NNN-
+    NNNN phone numbers with typed placeholder tokens and count each kind
+    (the standard pre-training redaction pass). Pure JVM ``regexp_replace``
+    / ``regexp_count`` column expressions — no Python in the path, scales
+    as a map-only stage. Counting happens BEFORE replacement, and patterns
+    apply in a fixed order (email first: an email contains no redacted
+    sub-span of the later patterns, so order only matters for overlap
+    freedom, which these conservative patterns guarantee).
+
+    Returns (doc_id, clean_text, n_email, n_ipv4, n_phone).
+    """
+    cols = [F.col("doc_id")]
+    cleaned = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        # functions API, not F.expr: a SQL literal would re-process the
+        # pattern's backslashes ('\b' → backspace) under default parsing
+        cols.append(
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).cast("long").alias(f"n_{name}")
+        )
+        cleaned = F.regexp_replace(cleaned, pat, token)
+    return docs.select(*cols, cleaned.alias("clean_text")).select(
+        "doc_id", "clean_text", "n_email", "n_ipv4", "n_phone"
+    )

@@ -159,3 +159,55 @@ def test_pair_materialization_table_mode(spark, planted, tmp_path):
     assert as_set(spark.read.parquet(path)) == as_set(local)
     with pytest.raises(ValueError):
         lsh_candidate_pairs(planted, materialize="table")  # no path
+
+
+# ---- round 3: CCNet-style cross-document chunk dedup + PII redaction ----
+
+
+def test_remove_boilerplate_chunks_planted(spark):
+    """Docs sharing a planted 8-word boilerplate chunk lose exactly that
+    chunk; unique content survives in order; a doc that is ALL boilerplate
+    comes back empty."""
+    from ocr_spark.operators.dedup import remove_boilerplate_chunks
+
+    boiler = "subscribe to our newsletter today for free updates"  # 8 words
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, boiler + " one two three four five six seven eight"),
+        (3, "iota kappa lambdaa mu nu xi omicron pi " + boiler),
+        (4, boiler),  # all boilerplate
+        (5, "unique text that appears nowhere else in corpus"),
+        (6, ""),  # empty doc: zero chunks, never crashes
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_chunks, r.n_removed)
+        for r in remove_boilerplate_chunks(docs, 8, 2).collect()
+    }
+    assert out[1] == ("alpha beta gamma delta epsilon zeta eta theta", 2, 1)
+    assert out[2] == ("one two three four five six seven eight", 2, 1)
+    assert out[3] == ("iota kappa lambdaa mu nu xi omicron pi", 2, 1)
+    assert out[4] == ("", 1, 1)
+    assert out[5] == ("unique text that appears nowhere else in corpus", 1, 0)
+    assert out[6] == ("", 0, 0)
+
+
+def test_redact_pii_kinds_and_counts(spark):
+    from ocr_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "mail a.user+tag@sub.example.org or b@x.co now"),
+        (2, "server at 10.0.255.7 and 192.168.1.1 up"),
+        (3, "call 555-867-5309 after noon"),
+        (4, "clean text with no identifiers at all"),
+        (5, "combo: c@d.io 8.8.8.8 555-000-1111 end"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[1].n_email == 2 and "<EMAIL>" in out[1].clean_text
+    assert "@" not in out[1].clean_text.replace("<EMAIL>", "")
+    assert out[2].n_ipv4 == 2 and out[2].clean_text.count("<IP>") == 2
+    assert out[3].n_phone == 1 and "<PHONE>" in out[3].clean_text
+    assert out[4].clean_text == "clean text with no identifiers at all"
+    assert (out[5].n_email, out[5].n_ipv4, out[5].n_phone) == (1, 1, 1)
+    assert out[5].clean_text == "combo: <EMAIL> <IP> <PHONE> end"
