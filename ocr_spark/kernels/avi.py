@@ -1,0 +1,137 @@
+"""Pure-stdlib AVI (RIFF / uncompressed DIB) codec: the REAL video codec
+behind the multimodal seam, completing the PNG (image) / WAV (audio)
+family.
+
+Supports the canonical uncompressed AVI shape: RIFF 'AVI ' → LIST hdrl
+(avih main header + strl stream headers) → LIST movi whose '..db'/'..dc'
+chunks carry BI_RGB DIB frames (24-bit BGR or 8-bit + grayscale palette),
+bottom-up rows padded to 4-byte boundaries — the format every classic
+"write raw AVI" tool emits. Compressed fourccs raise ``ValueError``;
+callers' malformed-payload discipline turns that into a row skip.
+
+The frame explosion consumer (``operators.multimodal.sample_frames``)
+needs only "payload bytes → list of (H, W) float rasters", which is the
+exact seam a real ffmpeg-backed deployment would fill.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+AVI_MAGIC = b"RIFF"
+
+
+def _pad4(n: int) -> int:
+    return (n + 3) & ~3
+
+
+def encode_avi(
+    frames: np.ndarray, fps: int = 10
+) -> bytes:
+    """uint8 frames [N, H, W] (grayscale) → uncompressed 24-bit AVI bytes
+    (each gray value replicated to BGR, bottom-up rows, 4-byte aligned)."""
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8 or frames.ndim != 3:
+        raise ValueError(f"encode_avi wants uint8 [N,H,W], got "
+                         f"{frames.dtype} {frames.shape}")
+    n, h, w = frames.shape
+    row_bytes = _pad4(w * 3)
+    frame_bytes = row_bytes * h
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        out = struct.pack("<4sI", tag, len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0, 1,
+        frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    for f in frames:
+        dib = np.zeros((h, row_bytes), dtype=np.uint8)
+        bgr = np.repeat(f[::-1, :, None], 3, axis=2)  # bottom-up, gray→BGR
+        dib[:, : w * 3] = bgr.reshape(h, w * 3)
+        movi_body += chunk(b"00db", dib.tobytes())
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(riff_body)) + riff_body
+
+
+def _walk_chunks(data: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        tag, length = struct.unpack_from("<4sI", data, pos)
+        body_start = pos + 8
+        if body_start + length > end:
+            raise ValueError("truncated AVI chunk")
+        yield tag, body_start, length
+        pos = body_start + length + (length & 1)
+
+
+def decode_avi(data: bytes) -> list[np.ndarray]:
+    """AVI bytes → list of (H, W) uint8 grayscale frames (BGR averaged)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = bits = None
+    compression = None
+    palette = None
+    frames: list[np.ndarray] = []
+
+    def scan(pos: int, end: int):
+        nonlocal w, h, bits, compression, palette
+        for tag, body_start, length in _walk_chunks(data, pos, end):
+            if tag == b"LIST":
+                scan(body_start + 4, body_start + length)
+            elif tag == b"strf" and w is None:
+                if length < 40:
+                    raise ValueError("short BITMAPINFOHEADER")
+                (_sz, bw, bh, _planes, bbits, comp) = struct.unpack_from(
+                    "<IiiHHI", data, body_start
+                )
+                w, h, bits, compression = bw, abs(bh), bbits, comp
+                if bits == 8 and length >= 40 + 256 * 4:
+                    pal = np.frombuffer(
+                        data, np.uint8, 256 * 4, body_start + 40
+                    ).reshape(256, 4)
+                    palette = pal[:, :3].mean(axis=1).astype(np.uint8)
+            elif tag in (b"00db", b"00dc") and length:
+                frames.append((body_start, length))
+
+    scan(12, len(data))
+    if w is None:
+        raise ValueError("missing strf header")
+    if compression != 0:
+        raise ValueError(f"compressed AVI (fourcc {compression}) unsupported")
+    if bits not in (8, 24):
+        raise ValueError(f"unsupported bit depth {bits}")
+    ch = 3 if bits == 24 else 1
+    row_bytes = _pad4(w * ch)
+    out = []
+    for body_start, length in frames:
+        if length < row_bytes * h:
+            raise ValueError("short DIB frame")
+        raw = np.frombuffer(data, np.uint8, row_bytes * h, body_start)
+        rows = raw.reshape(h, row_bytes)[:, : w * ch]
+        if bits == 24:
+            img = rows.reshape(h, w, 3).astype(np.float32).mean(axis=2)
+            img = img.round().astype(np.uint8)
+        else:
+            img = rows if palette is None else palette[rows]
+        out.append(img[::-1].copy())  # bottom-up → top-down
+    return out

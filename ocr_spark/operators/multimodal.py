@@ -230,13 +230,17 @@ FRAMES_SCHEMA = T.StructType(
 def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame sampling for video rows: one output row per kept frame.
 
-    STUB codec: frame f of a fake video = sha256(payload || frame index)
-    pixels (deterministic). Real plumbing: the row explosion (one media
-    row → n_frames/every_n frame rows), per-frame features, and the
-    payload column dropped before the rows multiply — at scale the frame
-    table is orders of magnitude taller than the media table and must
-    never carry the source bytes.
+    Video codec seam: RIFF/AVI payloads decode FOR REAL via the engine's
+    uncompressed-DIB parser (``kernels.avi`` — frame count, dimensions and
+    pixels all come from the container; advisory meta loses). Other
+    containers (mp4 etc. — codecs not here) keep the deterministic
+    sha256-per-frame fake. Real plumbing either way: the row explosion
+    (one media row → n_frames/every_n frame rows), per-frame features,
+    and the payload column dropped before the rows multiply — at scale
+    the frame table is orders of magnitude taller than the media table
+    and must never carry the source bytes.
     """
+    from ocr_spark.kernels.avi import decode_avi
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -246,8 +250,21 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
             ):
                 if payload is None or meta is None:
                     continue
-                n_frames = int(meta["n_frames"] or 1)
                 payload = bytes(payload)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    try:
+                        real = decode_avi(payload)
+                    except ValueError:
+                        continue  # corrupt container: skip, never crash
+                    for f in range(0, len(real), every_n):
+                        raster = real[f]
+                        img = raster.astype(np.float32) / 255.0
+                        ids.append(int(mid))
+                        fnos.append(f)
+                        crcs.append(zlib.crc32(raster.tobytes()))
+                        feats.append(_pool_bands(img).tolist())
+                    continue
+                n_frames = int(meta["n_frames"] or 1)
                 for f in range(0, n_frames, every_n):
                     frame_bytes = hashlib.sha256(
                         payload + f.to_bytes(4, "big")
@@ -354,12 +371,13 @@ def sample_audio_windows(
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests. IMAGE rows carry REAL
-    PNG payloads (16×16 grayscale, pixels sha256-derived, encoded by
-    ``kernels.png``) and AUDIO rows carry REAL 16-bit PCM WAVs (one
-    16 kHz second, sha256-derived waveform, ``kernels.wav``) so both
-    decode paths exercise actual container formats; video rows keep raw
-    seeded bytes (that codec remains stubbed)."""
+    """Deterministic fake media table for tests — every kind carries a
+    REAL container: IMAGE rows are PNGs (16×16 grayscale, sha256-derived
+    pixels, ``kernels.png``), AUDIO rows are 16-bit PCM WAVs (one 16 kHz
+    second, ``kernels.wav``), VIDEO rows are uncompressed 16-frame AVIs
+    (``kernels.avi``); all three decode paths exercise actual container
+    parses end-to-end."""
+    from ocr_spark.kernels.avi import encode_avi
     from ocr_spark.kernels.png import encode_png
     from ocr_spark.kernels.wav import encode_wav
 
@@ -375,7 +393,14 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             wave = (np.tile(base, 16000 // len(base) + 1)[:16000] / 127.5) - 1.0
             payload = encode_wav(wave, sample_rate=16000)
         else:
-            payload = seed
+            base = np.frombuffer(seed, dtype=np.uint8)
+            frames = np.stack(
+                [
+                    np.roll(base, f)[: 16 * 16].reshape(16, 16)
+                    for f in range(16)
+                ]
+            )
+            payload = encode_avi(frames)
         rows.append(
             (
                 i,

@@ -1,0 +1,53 @@
+"""AVI codec: roundtrips, malformed inputs, and the sample_frames seam."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels.avi import decode_avi, encode_avi
+
+
+def _frames(n=5, h=8, w=13):
+    return np.random.default_rng(3).integers(0, 256, (n, h, w), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(1, 16, 16), (5, 8, 13), (3, 7, 1)])
+def test_roundtrip(shape):
+    f = np.random.default_rng(0).integers(0, 256, shape, dtype=np.uint8)
+    got = decode_avi(encode_avi(f))
+    assert len(got) == shape[0]
+    assert all((a == b).all() for a, b in zip(f, got))
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:10],
+        lambda b: b"RIFX" + b[4:],
+        lambda b: b[:60],
+        lambda b: b.replace(b"strf", b"xxxx"),
+    ],
+)
+def test_malformed_raises(mutate):
+    with pytest.raises(ValueError):
+        decode_avi(mutate(encode_avi(_frames())))
+
+
+def test_sample_frames_decodes_real_avi(spark):
+    """Video rows carrying real AVI payloads explode into one row per
+    sampled frame; frame count comes from the container, not the meta."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, n=12)  # 4 video rows, 16 frames each
+    frames = sample_frames(media, every_n=4)
+    rows = frames.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.media_id, []).append(r.frame_no)
+    assert len(per) == 4
+    assert all(sorted(v) == [0, 4, 8, 12] for v in per.values())
+    # features are real raster pools, not constants
+    assert frames.select(F.size("feature")).distinct().collect()[0][0] == 16
