@@ -89,8 +89,15 @@ def png_size_level0(h: int, w: int, channels: int = 1) -> int:
 
 
 def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
-    """Reverse per-scanline filtering: raw [h, 1+w*bpp] → pixels [h, w*bpp]."""
+    """Reverse per-scanline filtering: raw [h, 1+w*bpp] → pixels [h, w*bpp].
+
+    Fast path: a file whose every scanline uses filter 0 (this module's
+    own encoder, and most screenshot-style tools at low effort) decodes
+    as a single slice — no per-row scan. Only mixed/nonzero filters pay
+    the sequential reversal."""
     stride = w * bpp
+    if not raw[:, 0].any():
+        return raw[:, 1:].copy()
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ftype = int(raw[y, 0])
