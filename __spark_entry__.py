@@ -357,7 +357,13 @@ def q_extract_html_wild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ts = datetime.datetime(2024, 1, 1)
     rows = [
-        (f"wild://case/{fid}", ts, bytearray(html.encode("utf-8")), None, "en")
+        (
+            f"wild://case/{fid}",
+            ts,
+            bytearray(html if isinstance(html, bytes) else html.encode("utf-8")),
+            None,
+            "en",
+        )
         for fid, _name, html, _expected in WILD_CASES
     ]
     pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA).repartition(4)

@@ -18,12 +18,15 @@ Consumed by ``tests/test_html_realistic.py`` (per-case pytest) and the
 expected text, verbatim, as a VALUES table — the extractor must
 reproduce it byte-for-byte through the full distributed pipeline).
 
-Each case: (fixture_id, name, html, expected_text).
+Each case: (fixture_id, name, html, expected_text). ``html`` is a str
+(encoded utf-8 on the way in) or raw ``bytes`` for the charset-edge cases
+— legacy encodings and BOMs are part of the scan contract
+(``kernels/charset.py``) and belong on the honesty surface too.
 """
 
 from __future__ import annotations
 
-WILD_CASES: list[tuple[int, str, str, str]] = [
+WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
     (
         0,
         "blog post with comments section",
@@ -288,5 +291,37 @@ WILD_CASES: list[tuple[int, str, str, str]] = [
         </body>""",
         "Marine biologists tagged forty juvenile turtles this season and recorded the earliest northward migration in the study's history.\n\n"
         "Warmer currents appear to be shifting the feeding grounds, and the team will expand satellite coverage next year.",
+    ),
+    (
+        18,
+        "windows-1252 page declared via meta charset",
+        (
+            '<html><head><meta charset="windows-1252"></head><body><main><article>'
+            "<p>The caf\xe9 critic wrote “an almost perfect cro\xfbte” about the bakery – praise the owners framed.</p>"
+            "</article></main></body></html>"
+        ).encode("windows-1252"),
+        "The café critic wrote “an almost perfect croûte” about the bakery – praise the owners framed.",
+    ),
+    (
+        19,
+        "utf-8 BOM page: BOM never leaks into extracted text",
+        b"\xef\xbb\xbf"
+        + (
+            "<body><main><article>"
+            "<p>Editors adopted the new style guide unanimously after a short debate about serial commas and em dashes.</p>"
+            "</article></main></body>"
+        ).encode("utf-8"),
+        "Editors adopted the new style guide unanimously after a short debate about serial commas and em dashes.",
+    ),
+    (
+        20,
+        "http-equiv content-type with latin-1 label (WHATWG-mapped to cp1252)",
+        (
+            '<html><head><meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1"></head>'
+            "<body><div class=\"nav\"><a href=\"/fr\">Fran\xe7ais</a><a href=\"/de\">Deutsch</a></div><main><article>"
+            "<p>La r\xe9union annuelle des \xe9diteurs aura lieu \xe0 Gen\xe8ve cette ann\xe9e, comme pr\xe9vu depuis longtemps.</p>"
+            "</article></main></body></html>"
+        ).encode("windows-1252"),
+        "La réunion annuelle des éditeurs aura lieu à Genève cette année, comme prévu depuis longtemps.",
     ),
 ]

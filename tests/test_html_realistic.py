@@ -17,7 +17,8 @@ from ocr_spark.kernels.html import extract_main_text
     ids=[c[1] for c in WILD_CASES],
 )
 def test_wild_extraction_byte_identical(fid, name, html, expected):
-    got, spans, n_blocks = extract_main_text(html.encode("utf-8"))
+    raw = html if isinstance(html, bytes) else html.encode("utf-8")
+    got, spans, n_blocks = extract_main_text(raw)
     assert got == expected, f"{name}:\nGOT: {got!r}\nEXP: {expected!r}"
 
 
