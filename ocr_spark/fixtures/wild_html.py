@@ -324,4 +324,22 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         ).encode("windows-1252"),
         "La réunion annuelle des éditeurs aura lieu à Genève cette année, comme prévu depuis longtemps.",
     ),
+    (
+        21,
+        "SPA shell: script-state text and noscript plea never leak",
+        '<body><div id="root"></div><script>window.__DATA__={"title":"Fake article text inside a script blob that must not leak"};</script><noscript>You need JavaScript to run this app.</noscript></body>',
+        "",
+    ),
+    (
+        22,
+        "right-to-left Arabic article extracts verbatim",
+        "<body><main><article><p>أعلنت المكتبة الوطنية عن مشروع لرقمنة المخطوطات النادرة خلال العامين المقبلين بالتعاون مع جامعات عدة.</p></article></main></body>",
+        "أعلنت المكتبة الوطنية عن مشروع لرقمنة المخطوطات النادرة خلال العامين المقبلين بالتعاون مع جامعات عدة.",
+    ),
+    (
+        23,
+        "non-breaking spaces normalize to plain spaces",
+        "<body><main><article><p>Prices&nbsp;rose&nbsp;again this quarter, according to the latest figures published by the statistics office.</p></article></main></body>",
+        "Prices rose again this quarter, according to the latest figures published by the statistics office.",
+    ),
 ]
