@@ -140,3 +140,48 @@ def test_strip_cached_subtrees_handles_branch_prefixes():
     stripped = _strip_cached_subtrees(plan)
     assert "Exchange hashpartitioning(a, 4)" not in stripped
     assert "Exchange hashpartitioning(b, 4)" in stripped
+
+
+def test_text_redact_is_map_only(spark):
+    """PII redaction is pure JVM regexp projection: zero exchanges beyond
+    the scan, no Python evaluation anywhere in the plan."""
+    from ocr_spark.plans.inspect import explain_str
+
+    df = em.q_text_redact(spark, SF)
+    plan = explain_str(df, "simple")
+    assert count_exchanges(df) == 0
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_dedup_chunks_no_cartesian_and_pruned_freq(spark):
+    """The chunk-frequency path must be equi-join shaped: no cartesian or
+    broadcast nested loop anywhere in the boilerplate-removal plan.
+    q_dedup_chunks localCheckpoints its result (persist-lifecycle rule),
+    which erases the plan — so this rebuilds the operator's pre-checkpoint
+    composition (explode → md5 → freq → anti-join) and inspects that."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(filter(split(text, '\\\\s+'), x -> x != '')) = 0 "
+                "THEN array() ELSE transform(sequence(0, CAST(ceil("
+                "size(filter(split(text, '\\\\s+'), x -> x != '')) / 8.0) AS INT) - 1), "
+                "i -> array_join(slice(filter(split(text, '\\\\s+'), x -> x != ''), "
+                "i * 8 + 1, 8), ' ')) END"
+            )
+        ).alias("pos", "chunk"),
+    ).withColumn("h", F.md5("chunk"))
+    freq = exploded.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    boiler = freq.filter(F.col("nd") >= 2).select("h")
+    kept = exploded.join(boiler, "h", "left_anti")
+    from ocr_spark.plans.inspect import explain_str
+
+    plan = explain_str(kept, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
