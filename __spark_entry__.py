@@ -772,6 +772,74 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs)
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style curation funnel: every document tagged
+    keep/drop with the FIRST failing gate (exact_dup → lang → too_short →
+    low_quality → repetitive) as the auditable reason. One narrow signal
+    projection + one dup-winner groupBy — the oracle recomputes every
+    gate and the cascade in SQL."""
+    from ocr_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))
+
+
+def _curate_corpus_oracle_sql() -> str:
+    """DuckDB twin of ``curation.curate_corpus`` at the default
+    thresholds: signals reuse the text_quality / text_langid /
+    text_repetition oracle spellings; winners are min(doc_id) per
+    md5(text); the CASE mirrors GATE_ORDER exactly."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+             len({_DWORDS}) AS n_tokens,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+             len(list_filter({_DWORDS},
+                 x -> x IN ('the','a','and','of','in','to','is'))) AS c_en,
+             len(list_filter({_DWORDS},
+                 x -> x IN ('der','die','das','und','ist','ein','zu'))) AS c_de,
+             len(list_filter({_DWORDS},
+                 x -> x IN ('le','la','les','et','est','un','une'))) AS c_fr,
+             len(list_filter({_DWORDS},
+                 x -> x IN ('el','los','las','por','para','y','con'))) AS c_es,
+             CAST(len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]'))
+                  AS BIGINT) AS c_zh,
+             round(1.0 - CAST(len(list_distinct({_DWORDS})) AS DOUBLE)
+                   / greatest(len({_DWORDS}), 1), 6) AS dup_token_ratio
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 dup_token_ratio,
+                 round(least(n_tokens / 64.0, 1.0)
+                       * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+                       * (0.5 + 0.5 * least(CAST(c_en AS DOUBLE)
+                                            / greatest(n_tokens, 1) * 5.0,
+                                            1.0)), 6) AS quality,
+                 CASE WHEN c_zh > 0 THEN 'zh'
+                      WHEN c_de > c_en AND c_de > c_fr AND c_de > c_es THEN 'de'
+                      WHEN c_fr > c_en AND c_fr >= c_de AND c_fr > c_es THEN 'fr'
+                      WHEN c_es > c_en AND c_es >= c_de AND c_es > c_fr THEN 'es'
+                      ELSE 'en' END AS predicted_lang
+          FROM t
+        ),
+        w AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        tagged AS (
+          SELECT s.*,
+                 CASE WHEN w.doc_id IS NULL THEN 'exact_dup'
+                      WHEN predicted_lang != 'en' THEN 'lang'
+                      WHEN n_tokens < 40 THEN 'too_short'
+                      WHEN quality < 0.45 THEN 'low_quality'
+                      WHEN dup_token_ratio > 0.65 THEN 'repetitive'
+                      ELSE 'keep' END AS reason
+          FROM s LEFT JOIN w ON s.doc_id = w.doc_id
+        )
+        SELECT doc_id, (reason = 'keep') AS keep, reason, predicted_lang,
+               n_tokens, quality, dup_token_ratio
+        FROM tagged
+    """
+
+
 def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio gate, hard-checked per document: n_bytes is
     exact-matched against the oracle's byte length, and two codec
@@ -1057,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_redact": q_text_redact,
         "dedup_chunks": q_dedup_chunks,
+        "curate_corpus": q_curate_corpus,
         "dedup_embedding": q_dedup_embedding,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1554,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
         "text_redact": _text_redact_oracle_sql(),
         "dedup_chunks": _dedup_chunks_oracle_sql(),
+        "curate_corpus": _curate_corpus_oracle_sql(),
         "sim_lsh": _sim_lsh_oracle_sql(),
         "dedup_embedding": _dedup_embedding_oracle_sql(),
         "nodes_profile": _nodes_profile_oracle_sql(),

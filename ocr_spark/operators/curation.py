@@ -1,0 +1,96 @@
+"""Corpus curation funnel: the C4/RefinedWeb-style keep/drop gate chain.
+
+A 100-TB training-data pipeline does not run its quality signals as
+separate jobs — it runs ONE funnel that tags every document keep/drop
+with the first failing gate as the reason, so corpus composition is
+auditable per gate. This operator composes the engine's existing signals
+(language cascade, quality score, repetition, exact-dup representatives)
+into that funnel.
+
+Physical shape, deliberately: the per-document signals (language votes,
+quality ratios, dup-token ratio) are ONE narrow projection over the scan
+— no self-joins between signal operators (joining `quality_score(docs)`
+to `lang_id(docs)` on doc_id would shuffle the corpus twice for columns
+that live in the same row). Only the two genuinely aggregate-shaped
+signals join in: the exact-dup winner set (16-byte-hash groupBy, the
+``exact_dedup`` shape) and nothing else — repetition's dup_token_ratio
+is row-local (array_distinct), so the funnel needs exactly ONE shuffle
+beyond the scan.
+
+Gate order is fixed and documented (first failure wins): exact_dup →
+lang → too_short → low_quality → repetitive. Order matters for the
+reason column only; the keep decision is the conjunction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.textstats import (
+    lang_cascade_col,
+    lang_vote_cols,
+    quality_cols,
+    words,
+)
+
+GATE_ORDER = ("exact_dup", "lang", "too_short", "low_quality", "repetitive")
+
+
+def curate_corpus(
+    docs: DataFrame,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 40,
+    min_quality: float = 0.45,
+    max_dup_token_ratio: float = 0.65,
+) -> DataFrame:
+    """Tag every document keep/drop with the first failing gate.
+
+    Returns (doc_id, keep boolean, reason string, predicted_lang,
+    n_tokens, quality, dup_token_ratio) — ``reason`` is 'keep' or the
+    first entry of ``GATE_ORDER`` that fails.
+    """
+    w = words()
+    dup_token_ratio = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1)),
+        6,
+    ).alias("dup_token_ratio")
+    signals = docs.select(
+        "doc_id", *lang_vote_cols(), *quality_cols(), dup_token_ratio
+    ).withColumn("predicted_lang", lang_cascade_col())
+
+    # exact-dup representatives: min doc_id per md5(text) group survives —
+    # the one aggregate-shaped signal (same spelling as exact_dedup)
+    winners = (
+        docs.groupBy(F.md5("text").alias("k"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("is_rep"))
+    )
+    joined = signals.join(winners, "doc_id", "left")
+
+    reason = (
+        F.when(F.col("is_rep").isNull(), "exact_dup")
+        .when(~F.col("predicted_lang").isin(*allowed_langs), "lang")
+        .when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("quality") < min_quality, "low_quality")
+        .when(F.col("dup_token_ratio") > max_dup_token_ratio, "repetitive")
+        .otherwise("keep")
+    )
+    return joined.select(
+        "doc_id",
+        (reason == "keep").alias("keep"),
+        reason.alias("reason"),
+        "predicted_lang",
+        "n_tokens",
+        "quality",
+        "dup_token_ratio",
+    )
+
+
+def curation_report(curated: DataFrame) -> DataFrame:
+    """Per-gate funnel counts: (reason, n_docs) — the corpus-composition
+    audit a data team reads after every curation run."""
+    return curated.groupBy("reason").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )

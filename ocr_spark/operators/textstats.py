@@ -77,6 +77,12 @@ def quality_score(docs: DataFrame) -> DataFrame:
     standard web-corpus quality gates (C4/Gopher-style rules). Deterministic
     closed-form so it is oracle-checkable in ANSI SQL.
     """
+    return docs.select("doc_id", *quality_cols())
+
+
+def quality_cols() -> list[Column]:
+    """The four quality columns (n_tokens, punct_ratio, stop_ratio,
+    quality) — shared by ``quality_score`` and the curation funnel."""
     w = words()
     n_tokens = F.size(w)
     n_chars = F.length("text")
@@ -91,13 +97,12 @@ def quality_score(docs: DataFrame) -> DataFrame:
     score = len_sat * (F.lit(1.0) - punct_ratio) * (
         F.lit(0.5) + F.lit(0.5) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
     )
-    return docs.select(
-        "doc_id",
+    return [
         F.size(w).cast("long").alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(score, 6).alias("quality"),
-    )
+    ]
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -115,16 +120,30 @@ def lang_id(docs: DataFrame) -> DataFrame:
     column expressions. Returns (doc_id, lang, predicted_lang, c_en, c_de,
     c_fr, c_es, c_zh).
     """
-    w = words()
-    c_en = _count_in(w, STOPWORDS_EN).alias("c_en")
-    c_de = _count_in(w, STOPWORDS_DE).alias("c_de")
-    c_fr = _count_in(w, STOPWORDS_FR).alias("c_fr")
-    c_es = _count_in(w, STOPWORDS_ES).alias("c_es")
-    c_zh = (
-        F.regexp_count(F.col("text"), F.lit(CJK_RANGE_RE)).cast("long").alias("c_zh")
+    out = docs.select("doc_id", "lang", *lang_vote_cols())
+    return out.withColumn("predicted_lang", lang_cascade_col()).select(
+        "doc_id", "lang", "predicted_lang", "c_en", "c_de", "c_fr", "c_es", "c_zh"
     )
-    out = docs.select("doc_id", "lang", c_en, c_de, c_fr, c_es, c_zh)
-    predicted = (
+
+
+def lang_vote_cols() -> list[Column]:
+    """The five per-language vote columns (aliased c_en..c_zh) — shared by
+    ``lang_id`` and the curation funnel so the cascade never drifts."""
+    w = words()
+    return [
+        _count_in(w, STOPWORDS_EN).alias("c_en"),
+        _count_in(w, STOPWORDS_DE).alias("c_de"),
+        _count_in(w, STOPWORDS_FR).alias("c_fr"),
+        _count_in(w, STOPWORDS_ES).alias("c_es"),
+        F.regexp_count(F.col("text"), F.lit(CJK_RANGE_RE))
+        .cast("long")
+        .alias("c_zh"),
+    ]
+
+
+def lang_cascade_col() -> Column:
+    """The deterministic language cascade over c_en..c_zh (see lang_id)."""
+    return (
         F.when(F.col("c_zh") > 0, "zh")
         .when(
             (F.col("c_de") > F.col("c_en"))
@@ -145,9 +164,6 @@ def lang_id(docs: DataFrame) -> DataFrame:
             "es",
         )
         .otherwise("en")
-    )
-    return out.withColumn("predicted_lang", predicted).select(
-        "doc_id", "lang", "predicted_lang", "c_en", "c_de", "c_fr", "c_es", "c_zh"
     )
 
 

@@ -211,3 +211,33 @@ def test_redact_pii_kinds_and_counts(spark):
     assert out[4].clean_text == "clean text with no identifiers at all"
     assert (out[5].n_email, out[5].n_ipv4, out[5].n_phone) == (1, 1, 1)
     assert out[5].clean_text == "combo: <EMAIL> <IP> <PHONE> end"
+
+
+def test_curate_corpus_gate_order_and_reasons(spark):
+    """Each gate fires on its planted doc, in the documented first-failure
+    order; the clean doc keeps."""
+    from ocr_spark.operators.curation import curate_corpus, curation_report
+
+    good = ("the data " * 30).strip()  # 60 tokens, stopword-rich, varied?
+    # 60 tokens but only 2 distinct -> repetitive; build a genuinely good doc
+    good = " ".join(f"the value{i} of point{i} is fine{i}" for i in range(12))
+    rows = [
+        (1, good),                       # keep
+        (2, good),                       # exact dup of 1 -> exact_dup
+        (3, "der die das und ist ein zu " * 12),  # german -> lang
+        (4, "short text only"),          # -> too_short
+        # stopword-rich so quality passes (0.70), 7 distinct of 49 tokens
+        # -> dup_token_ratio 0.857 trips the repetition gate
+        (5, ("the of and is to in a " * 7).strip()),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curate_corpus(docs).collect()}
+    assert out[1].keep and out[1].reason == "keep"
+    assert out[2].reason == "exact_dup" and not out[2].keep
+    assert out[3].reason == "lang" and out[3].predicted_lang == "de"
+    assert out[4].reason == "too_short"
+    assert out[5].reason == "repetitive"
+    report = {r.reason: r.n_docs for r in curation_report(
+        curate_corpus(docs)).collect()}
+    assert report == {"keep": 1, "exact_dup": 1, "lang": 1,
+                      "too_short": 1, "repetitive": 1}
