@@ -840,6 +840,48 @@ def _curate_corpus_oracle_sql() -> str:
     """
 
 
+def q_curate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified training-mix sampling: top-25 docs per source by
+    quality, via the salted two-level top-k (exact; hot groups split
+    across 16 salt tasks). The oracle is the single global window — the
+    two spellings must agree exactly, which IS the exactness proof of
+    the salted decomposition."""
+    from ocr_spark.operators.curation import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), per_group=25)
+
+
+def _curate_sample_oracle_sql() -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id, source,
+             len({_DWORDS}) AS n_tokens,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+             len(list_filter({_DWORDS},
+                 x -> x IN ('the','a','and','of','in','to','is'))) AS n_stop
+          FROM documents
+        ),
+        q AS (
+          SELECT doc_id, source,
+                 round(least(n_tokens / 64.0, 1.0)
+                       * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+                       * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE)
+                                            / greatest(n_tokens, 1) * 5.0,
+                                            1.0)), 6) AS quality
+          FROM t
+        ),
+        r AS (
+          SELECT doc_id, source, quality,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY quality DESC, doc_id) AS rank
+          FROM q
+        )
+        SELECT doc_id, source, quality, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 25
+    """
+
+
 def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio gate, hard-checked per document: n_bytes is
     exact-matched against the oracle's byte length, and two codec
@@ -1126,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": q_text_redact,
         "dedup_chunks": q_dedup_chunks,
         "curate_corpus": q_curate_corpus,
+        "curate_sample": q_curate_sample,
         "dedup_embedding": q_dedup_embedding,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1624,6 +1667,7 @@ def oracle_sql() -> dict[str, str]:
         "text_redact": _text_redact_oracle_sql(),
         "dedup_chunks": _dedup_chunks_oracle_sql(),
         "curate_corpus": _curate_corpus_oracle_sql(),
+        "curate_sample": _curate_sample_oracle_sql(),
         "sim_lsh": _sim_lsh_oracle_sql(),
         "dedup_embedding": _dedup_embedding_oracle_sql(),
         "nodes_profile": _nodes_profile_oracle_sql(),

@@ -88,6 +88,50 @@ def curate_corpus(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    per_group: int = 25,
+    group_col: str = "source",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Training-mix construction: the top ``per_group`` documents per
+    group (host/source) by quality, deterministic (quality desc, doc_id
+    asc tiebreak).
+
+    A single ``row_number() OVER (PARTITION BY group)`` puts every row of
+    a hot group into ONE task — the classic window-skew trap at corpus
+    scale. This is the salted two-level spelling instead: a first window
+    over (group, doc_id % n_salts) keeps each salt's local top-k, then a
+    second window over the surviving ≤ k·n_salts rows per group takes the
+    global top-k. EXACT by construction — every global top-k row is
+    necessarily in its own salt's local top-k — while the heavy first
+    pass splits a hot group across ``n_salts`` tasks and the second pass
+    sees only k·n_salts slim rows per group. Returns (doc_id, group,
+    quality, rank).
+    """
+    q = docs.select("doc_id", F.col(group_col).alias("grp"), *quality_cols())
+    order = [F.col("quality").desc(), F.col("doc_id").asc()]
+    from pyspark.sql import Window
+
+    salted = Window.partitionBy(
+        "grp", (F.col("doc_id") % n_salts).alias("salt")
+    ).orderBy(*order)
+    local = q.withColumn("r", F.row_number().over(salted)).filter(
+        F.col("r") <= per_group
+    )
+    final = Window.partitionBy("grp").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= per_group)
+        .select(
+            "doc_id",
+            F.col("grp").alias(group_col),
+            "quality",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def curation_report(curated: DataFrame) -> DataFrame:
     """Per-gate funnel counts: (reason, n_docs) — the corpus-composition
     audit a data team reads after every curation run."""

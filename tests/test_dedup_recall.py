@@ -241,3 +241,37 @@ def test_curate_corpus_gate_order_and_reasons(spark):
         curate_corpus(docs)).collect()}
     assert report == {"keep": 1, "exact_dup": 1, "lang": 1,
                       "too_short": 1, "repetitive": 1}
+
+
+def test_stratified_sample_exact_vs_naive_window(spark):
+    """The salted two-level top-k must equal the single global window on a
+    corpus where the cap BINDS (groups larger than per_group), including
+    tie handling (quality desc, doc_id asc)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.curation import stratified_sample
+    from ocr_spark.operators.textstats import quality_cols
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(300)
+        .withColumn("source", (F.col("doc_id") % 3).cast("string"))
+        .select("doc_id", "text", "source")
+    )  # 3 groups of ~100 >> per_group=10: the cap binds hard
+    got = {
+        (r.doc_id, r.source, r.rank)
+        for r in stratified_sample(docs, per_group=10, n_salts=7).collect()
+    }
+    q = docs.select("doc_id", F.col("source").alias("grp"), *quality_cols())
+    w = Window.partitionBy("grp").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    want = {
+        (r.doc_id, r.grp, r.rank)
+        for r in q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 30
