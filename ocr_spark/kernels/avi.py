@@ -93,11 +93,15 @@ def decode_avi(data: bytes) -> list[np.ndarray]:
     palette = None
     frames: list[np.ndarray] = []
 
-    def scan(pos: int, end: int):
+    def scan(pos: int, end: int, depth: int = 0):
         nonlocal w, h, bits, compression, palette
+        if depth > 16:
+            # hostile nesting: real AVIs are 3 LIST levels deep; a crafted
+            # chain of nested LIST headers must not hit the recursion limit
+            raise ValueError("AVI LIST nesting too deep")
         for tag, body_start, length in _walk_chunks(data, pos, end):
             if tag == b"LIST":
-                scan(body_start + 4, body_start + length)
+                scan(body_start + 4, body_start + length, depth + 1)
             elif tag == b"strf" and w is None:
                 if length < 40:
                     raise ValueError("short BITMAPINFOHEADER")

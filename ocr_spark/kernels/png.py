@@ -33,6 +33,12 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# decode-side resource cap: a crawl-scale corpus WILL contain hostile or
+# corrupt headers (a 4-byte IHDR edit can declare a 2^31-wide image and
+# OOM the executor before any payload-length check runs). Bound the
+# declared raster, not the payload — 64 MP ≈ any real web image.
+MAX_DECODE_PIXELS = 64_000_000
+
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
     return (
@@ -154,6 +160,8 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+            if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+                raise ValueError(f"refusing {w}x{h} raster (hostile header?)")
             if depth != 8:
                 raise ValueError(f"unsupported bit depth {depth}")
             if color_type not in (0, 2, 4, 6):
@@ -167,8 +175,12 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     expect = h * (1 + w * channels)
+    # bounded inflate: a decompression bomb (tiny deflate stream, huge
+    # expansion) must not allocate past the declared raster size
+    decompressor = zlib.decompressobj()
+    inflated = decompressor.decompress(bytes(idat), expect + 1)
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if raw.size != expect:
         raise ValueError(f"bad IDAT size {raw.size}, want {expect}")
     pixels = _unfilter(raw.reshape(h, 1 + w * channels), h, w, channels)

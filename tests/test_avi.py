@@ -51,3 +51,50 @@ def test_sample_frames_decodes_real_avi(spark):
     assert all(sorted(v) == [0, 4, 8, 12] for v in per.values())
     # features are real raster pools, not constants
     assert frames.select(F.size("feature")).distinct().collect()[0][0] == 16
+
+
+# ---- hostile-input fuzz ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def test_deep_list_nesting_rejected():
+    """A crafted chain of nested LIST headers must raise, not blow the
+    recursion limit (task-crash vector on a hostile crawl payload)."""
+    import struct
+
+    body = b"00db" + b"\x00" * 4
+    for _ in range(64):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"hdrl" + body
+    data = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    with pytest.raises(ValueError):
+        decode_avi(data)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_fuzz_random_avi_bytes(data):
+    import struct
+
+    blob = b"RIFF" + struct.pack("<I", len(data) + 4) + b"AVI " + data
+    try:
+        frames = decode_avi(blob)
+        assert all(f.dtype == np.uint8 for f in frames)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=12, max_value=400),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=399),
+)
+def test_fuzz_mutated_valid_avi(cut, byte, pos):
+    data = bytearray(encode_avi(_frames(2, 4, 5)))
+    data[min(pos, len(data) - 1)] ^= byte
+    try:
+        decode_avi(bytes(data[:cut]))
+    except ValueError:
+        pass

@@ -132,3 +132,65 @@ def test_decode_image_seam_sniffs_png():
     # non-PNG payloads keep the deterministic stub
     fake = decode_image(b"not a png", 4, 4)
     assert fake.shape == (4, 4)
+
+
+# ---- hostile-input hardening: a crawl corpus WILL contain these ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def test_hostile_ihdr_dimensions_rejected_before_allocation():
+    """A 4-byte header edit declaring a 2^31-wide image must raise, not
+    attempt the allocation (executor-OOM vector at corpus scale)."""
+    img = np.zeros((4, 4), dtype=np.uint8)
+    data = bytearray(encode_png(img))
+    struct.pack_into(">I", data, 16, 2**31 - 1)  # IHDR width field
+    with pytest.raises(ValueError):
+        decode_png(bytes(data))
+
+
+def test_decompression_bomb_bounded():
+    """A tiny IDAT that inflates far past the declared raster must fail
+    the size check, not balloon memory."""
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)  # ~10 KB → 10 MB
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    data = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(data)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_fuzz_random_bytes_never_crash_differently(data):
+    """Arbitrary bytes: decode either raises the documented exceptions or
+    returns a valid raster — nothing else escapes to the caller."""
+    try:
+        out = decode_png(PNG_MAGIC + data)
+        assert out.dtype == np.uint8
+    except (ValueError, zlib.error):
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=200),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=199),
+)
+def test_fuzz_mutated_valid_png(cut, byte, pos):
+    """Truncations and single-byte corruptions of a valid file: decode
+    raises the documented exceptions or returns a raster (CRC is not
+    validated by design — a flipped pixel byte still decodes)."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = bytearray(encode_png(img))
+    data[min(pos, len(data) - 1)] ^= byte
+    try:
+        decode_png(bytes(data[:cut]))
+    except (ValueError, zlib.error):
+        pass

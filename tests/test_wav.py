@@ -69,3 +69,34 @@ def test_decode_audio_seam_sniffs_wav():
     assert np.abs(y - x).max() < 1e-3
     fake = decode_audio(b"not audio", 16000, 256)
     assert fake.shape == (256,)  # stub path intact
+
+
+# ---- hostile-input fuzz ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_fuzz_random_wav_bytes(data):
+    try:
+        wave, sr = decode_wav(b"RIFF" + data)
+        assert wave.dtype == np.float32 and sr >= 0
+    except ValueError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=120),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=99),
+)
+def test_fuzz_mutated_valid_wav(cut, byte, pos):
+    data = bytearray(encode_wav(_tone(64)))
+    data[min(pos, len(data) - 1)] ^= byte
+    try:
+        decode_wav(bytes(data[:cut]))
+    except ValueError:
+        pass
