@@ -7,6 +7,9 @@ import datetime
 
 import pyspark.sql.functions as F
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from ocr_spark.operators.extract_html import extract_pages
 from ocr_spark.sources.pages import PAGES_SCHEMA
 
@@ -145,3 +148,26 @@ def test_phantom_empty_payload_with_declared_width_is_skipped(spark):
     assert detect_image_lines(pages).count() == 0
     out = extract_full(pages).collect()[0].extracted_text
     assert out == "real content words here enough to score well over the threshold"
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_fuzz_extract_main_text_never_raises(data):
+    """The extractor runs over raw crawl bytes — arbitrary input must
+    yield (str, spans, int), never an exception (one hostile page must
+    not kill a 10^12-document task)."""
+    from ocr_spark.kernels.html import extract_main_text
+
+    text, spans, n_blocks = extract_main_text(data)
+    assert isinstance(text, str) and isinstance(n_blocks, int)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=400))
+def test_fuzz_extract_main_text_unicode_soup(fragment):
+    """Unicode soup wrapped in plausible tags: still total, still a str."""
+    from ocr_spark.kernels.html import extract_main_text
+
+    html = f"<body><main><article><p>{fragment}</p></article></main></body>"
+    text, spans, n_blocks = extract_main_text(html.encode("utf-8"))
+    assert isinstance(text, str)
