@@ -11,11 +11,15 @@ Physical shape, deliberately: the per-document signals (language votes,
 quality ratios, dup-token ratio) are ONE narrow projection over the scan
 — no self-joins between signal operators (joining `quality_score(docs)`
 to `lang_id(docs)` on doc_id would shuffle the corpus twice for columns
-that live in the same row). Only the two genuinely aggregate-shaped
-signals join in: the exact-dup winner set (16-byte-hash groupBy, the
-``exact_dedup`` shape) and nothing else — repetition's dup_token_ratio
-is row-local (array_distinct), so the funnel needs exactly ONE shuffle
-beyond the scan.
+that live in the same row). The one aggregate-shaped signal is the
+exact-dup winner set: a 16-byte-hash groupBy whose map-side partial
+aggregation absorbs hot texts (the viral empty-page/"403" cluster that
+would melt a window-over-md5 spelling), then an id-keyed join back —
+broadcast while winners fit (the local plan: signals never shuffle at
+all), sort-merge at corpus scale where winners ≈ distinct texts. The
+window respelling would save that join's shuffle but has NO partial
+aggregation, so one hot text funnels its entire cluster into one task —
+the groupBy+join shape is the deliberate skew-safe choice.
 
 Gate order is fixed and documented (first failure wins): exact_dup →
 lang → too_short → low_quality → repetitive. Order matters for the
