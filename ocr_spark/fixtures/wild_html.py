@@ -342,4 +342,28 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "<body><main><article><p>Prices&nbsp;rose&nbsp;again this quarter, according to the latest figures published by the statistics office.</p></article></main></body>",
         "Prices rose again this quarter, according to the latest figures published by the statistics office.",
     ),
+    (
+        24,
+        "ordered list of instructions is content",
+        "<body><main><article><h2>Setup steps</h2><ol><li>Download the installer from the releases page and verify its checksum carefully.</li><li>Run the installer with default options unless policy requires a custom prefix.</li></ol></article></main></body>",
+        "Setup steps\n\nDownload the installer from the releases page and verify its checksum carefully.\n\nRun the installer with default options unless policy requires a custom prefix.",
+    ),
+    (
+        25,
+        "blockquote-heavy opinion piece keeps every quote",
+        "<body><main><article><p>Critics responded quickly to the announcement with unusually strong language.</p><blockquote>This is the most significant change to the format in twenty years, full stop.</blockquote><blockquote>A cautious welcome is the best we can offer until the details are published.</blockquote></article></main></body>",
+        "Critics responded quickly to the announcement with unusually strong language.\n\nThis is the most significant change to the format in twenty years, full stop.\n\nA cautious welcome is the best we can offer until the details are published.",
+    ),
+    (
+        26,
+        "headline-only breaking-news page",
+        "<body><main><article><h1>Volcano erupts off the southern coast forcing overnight evacuations</h1></article></main></body>",
+        "Volcano erupts off the southern coast forcing overnight evacuations",
+    ),
+    (
+        27,
+        "nested related-article teaser is chrome, outer article is content",
+        '<body><main><article><p>The report summarizes the committee findings on rural broadband coverage and its funding gaps.</p><article class="related"><a href="/r1">Related: broadband map updated</a></article></article></main></body>',
+        "The report summarizes the committee findings on rural broadband coverage and its funding gaps.",
+    ),
 ]

@@ -29,4 +29,4 @@ def test_corpus_shape():
     assert ids == list(range(len(WILD_CASES)))
     empties = [c[0] for c in WILD_CASES if not c[3]]
     assert empties == [21]
-    assert len(WILD_CASES) >= 24
+    assert len(WILD_CASES) >= 28
