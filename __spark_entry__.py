@@ -882,6 +882,86 @@ def _curate_sample_oracle_sql() -> str:
     """
 
 
+def q_text_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained char-trigram LM scoring (the CCNet perplexity-gate
+    shape, self-contained): count pass → capped model → per-doc mean
+    smoothed log-probability. The oracle retrains the same model and
+    rescoring in SQL."""
+    from ocr_spark.operators.lm import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
+def _text_lm_oracle_sql() -> str:
+    trigrams = (
+        "CASE WHEN length(text) < 3 THEN [] ELSE "
+        "list_transform(range(length(text) - 2), "
+        "i -> substr(text, CAST(i + 1 AS INTEGER), 3)) END"
+    )
+    return f"""
+        WITH g AS (
+          SELECT unnest({trigrams}) AS trigram FROM documents
+        ),
+        counts AS (SELECT trigram, count(*) AS c FROM g GROUP BY trigram),
+        model AS (
+          SELECT trigram, c FROM (
+            SELECT *, row_number() OVER (ORDER BY c DESC, trigram) AS r
+            FROM counts
+          ) WHERE r <= 100000
+        ),
+        tot AS (SELECT sum(c) AS n_mass, count(*) AS v_kept FROM model),
+        dg AS (
+          SELECT doc_id, unnest({trigrams}) AS trigram FROM documents
+        ),
+        lp AS (
+          SELECT doc_id,
+                 ln((coalesce(m.c, 0) + 1.0)
+                    / (t.n_mass + t.v_kept + 1.0)) AS lp
+          FROM dg LEFT JOIN model m USING (trigram) CROSS JOIN tot t
+        ),
+        s AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                 round(avg(lp), 6) AS logprob
+          FROM lp GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(s.n_trigrams, 0) AS n_trigrams,
+               coalesce(s.logprob, 0.0) AS logprob
+        FROM documents d LEFT JOIN s USING (doc_id)
+    """
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 13-gram method): docs with
+    doc_id % 97 == 0 stand in for the eval set; every corpus document
+    sharing a 13-word shingle with it is flagged with its hit count.
+    The benchmark shingle-hash set broadcasts; the corpus side never
+    shuffles its text."""
+    from ocr_spark.operators.lm import contamination_check
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return contamination_check(docs, bench, n_words=13)
+
+
+def _text_contamination_oracle_sql() -> str:
+    sh = (
+        f"CASE WHEN len({_DWORDS}) < 13 THEN [] ELSE "
+        f"list_transform(range(len({_DWORDS}) - 12), "
+        f"i -> md5(array_to_string({_DWORDS}[CAST(i + 1 AS BIGINT) : "
+        f"CAST(i + 13 AS BIGINT)], ' '))) END"
+    )
+    return f"""
+        WITH bh AS (
+          SELECT DISTINCT unnest({sh}) AS h
+          FROM documents WHERE doc_id % 97 = 0
+        ),
+        dh AS (SELECT doc_id, unnest({sh}) AS h FROM documents)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM dh JOIN bh USING (h)
+        GROUP BY doc_id
+    """
+
+
 def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio gate, hard-checked per document: n_bytes is
     exact-matched against the oracle's byte length, and two codec
@@ -1169,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": q_dedup_chunks,
         "curate_corpus": q_curate_corpus,
         "curate_sample": q_curate_sample,
+        "text_lm": q_text_lm,
+        "text_contamination": q_text_contamination,
         "dedup_embedding": q_dedup_embedding,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1668,6 +1750,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_chunks": _dedup_chunks_oracle_sql(),
         "curate_corpus": _curate_corpus_oracle_sql(),
         "curate_sample": _curate_sample_oracle_sql(),
+        "text_lm": _text_lm_oracle_sql(),
+        "text_contamination": _text_contamination_oracle_sql(),
         "sim_lsh": _sim_lsh_oracle_sql(),
         "dedup_embedding": _dedup_embedding_oracle_sql(),
         "nodes_profile": _nodes_profile_oracle_sql(),

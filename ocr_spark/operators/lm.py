@@ -1,0 +1,139 @@
+"""Corpus-trained character-trigram language-model scoring — the
+CCNet-style "perplexity gate" re-expressed without external model files.
+
+CCNet/RefinedWeb rank documents by language-model perplexity to separate
+fluent prose from gibberish/boilerplate. This operator trains the LM ON
+the corpus itself (two passes, both relational) instead of loading a
+KenLM binary, so the whole gate is self-contained and oracle-checkable:
+
+1. **Count pass**: explode every document into character trigrams, count
+   corpus-wide — ONE partial-aggregated shuffle keyed by trigram (hot
+   trigrams like 'th ' collapse map-side). The model keeps the top
+   ``max_model_size`` trigrams by (count desc, trigram asc) — the
+   deterministic cap that bounds the broadcast when a multilingual or
+   hostile corpus inflates the trigram space (ASCII prose alone is
+   naturally bounded near 95³).
+2. **Score pass**: per document, the mean add-one-smoothed log-probability
+   of its trigrams under those counts: ln((c+1) / (N + V)) with N = total
+   kept-trigram mass and V = kept-vocabulary size + 1 (the unseen class,
+   c = 0). Low score = far from the corpus distribution — gibberish,
+   wrong language, binary junk.
+
+Physical shape: count shuffle → slim (trigram, count) model broadcast →
+map-side trigram explode + broadcast join → one (doc_id, logprob)
+aggregation. The document text crosses exactly one exchange (the trigram
+explode feeding the join is map-side; only slim rows shuffle into the
+per-doc mean).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_MODEL_SIZE = 100_000
+
+
+def _trigrams_expr(col: str = "text") -> str:
+    """Array of character trigrams of ``col`` (empty for len < 3)."""
+    return (
+        f"CASE WHEN length({col}) < 3 THEN array() "
+        f"ELSE transform(sequence(1, length({col}) - 2), "
+        f"i -> substring({col}, i, 3)) END"
+    )
+
+
+def lm_train_counts(docs: DataFrame, max_model_size: int = MAX_MODEL_SIZE) -> DataFrame:
+    """Corpus trigram counts, capped to the top ``max_model_size`` by
+    (count desc, trigram asc). Returns (trigram, c)."""
+    grams = docs.select(
+        F.explode(F.expr(_trigrams_expr())).alias("trigram")
+    )
+    counts = grams.groupBy("trigram").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("c").desc(), F.col("trigram").asc())
+    # global rank over the (small) distinct-trigram table — NOT the corpus
+    return (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= max_model_size)
+        .select("trigram", "c")
+    )
+
+
+def lm_score(
+    docs: DataFrame, max_model_size: int = MAX_MODEL_SIZE
+) -> DataFrame:
+    """Per-document mean trigram log-probability under the corpus model.
+
+    Returns (doc_id, n_trigrams, logprob) — logprob rounded 6 dp, NULL-free
+    (documents shorter than 3 chars score the unseen floor over zero
+    trigrams → logprob = 0.0 with n_trigrams = 0, kept explicit rather
+    than dropped so the gate sees every document).
+    """
+    model = lm_train_counts(docs, max_model_size)
+    totals = model.agg(
+        F.sum("c").alias("n_mass"), F.count("*").alias("v_kept")
+    )
+    doc_grams = docs.select(
+        "doc_id", F.explode(F.expr(_trigrams_expr())).alias("trigram")
+    )
+    joined = (
+        doc_grams.join(F.broadcast(model), "trigram", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("n_mass") + F.col("v_kept") + F.lit(1.0))
+            ).alias("lp"),
+        )
+    )
+    scored = joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.round(F.avg("lp"), 6).alias("logprob"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+            F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
+        )
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n_words: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 13-gram method): flag every
+    corpus document sharing at least one ``n_words``-word shingle with the
+    benchmark set. Returns (doc_id, n_hits) for contaminated docs only.
+
+    Physical shape: the benchmark's shingle-hash set is tiny (eval sets
+    are thousands of rows) and BROADCASTS; the corpus side streams its
+    shingle hashes past the broadcast semi-join — the big side never
+    shuffles. Word shingles are hashed to md5 so only 16-byte keys move.
+    """
+    def shingles(df: DataFrame, id_col: str | None):
+        words = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+        expr = (
+            f"CASE WHEN size({words}) < {n_words} THEN array() "
+            f"ELSE transform(sequence(1, size({words}) - {n_words} + 1), "
+            f"i -> md5(array_join(slice({words}, i, {n_words}), ' '))) END"
+        )
+        cols = ([id_col] if id_col else []) + [
+            F.explode(F.expr(expr)).alias("h")
+        ]
+        return df.select(*cols)
+
+    bench_h = shingles(benchmark, None).distinct()
+    doc_h = shingles(docs, "doc_id")
+    hits = doc_h.join(F.broadcast(bench_h), "h")
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
