@@ -160,7 +160,12 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+            # zero-width/height rasters are legitimate degenerate images
+            # (the engine's own zero-width line strips encode as w=0);
+            # each DIMENSION is bounded too, not just the product — a
+            # 0×2^31 header would otherwise still buy a giant scanline
+            # allocation via the +1 filter byte per row
+            if w > 1 << 20 or h > 1 << 20 or w * h > MAX_DECODE_PIXELS:
                 raise ValueError(f"refusing {w}x{h} raster (hostile header?)")
             if depth != 8:
                 raise ValueError(f"unsupported bit depth {depth}")
