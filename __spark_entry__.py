@@ -925,8 +925,10 @@ def _text_lm_oracle_sql() -> str:
           FROM lp GROUP BY doc_id
         )
         SELECT d.doc_id, coalesce(s.n_trigrams, 0) AS n_trigrams,
-               coalesce(s.logprob, 0.0) AS logprob
-        FROM documents d LEFT JOIN s USING (doc_id)
+               coalesce(s.logprob,
+                        round(ln(1.0 / (t.n_mass + t.v_kept + 1.0)), 6))
+                   AS logprob
+        FROM documents d CROSS JOIN tot t LEFT JOIN s USING (doc_id)
     """
 
 
@@ -2004,18 +2006,19 @@ def _dedup_chunks_oracle_sql() -> str:
 
 
 def _text_redact_oracle_sql() -> str:
-    """DuckDB twin of ``q_text_redact``: same suffix construction, counts
-    via regexp_extract_all on the PRE-redaction text, replacement chained
-    in the same pattern order ('g' flag = Spark's replace-all default).
-    Patterns are shared literals from ``PII_PATTERNS`` — DuckDB standard
-    strings keep backslashes raw, so the regex crosses dialects intact."""
+    """DuckDB twin of ``q_text_redact``: same suffix construction, each
+    count computed on the text as the PREVIOUS patterns left it (= number
+    of replacements actually performed), replacement chained in the same
+    pattern order ('g' flag = Spark's replace-all default). Patterns are
+    shared literals from ``PII_PATTERNS`` — DuckDB standard strings keep
+    backslashes raw, so the regex crosses dialects intact."""
     from ocr_spark.operators.textstats import PII_PATTERNS
 
     cleaned = "text"
     counts = []
     for name, pat, token in PII_PATTERNS:
         counts.append(
-            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+            f"CAST(len(regexp_extract_all({cleaned}, '{pat}')) AS BIGINT)"
             f" AS n_{name}"
         )
         cleaned = f"regexp_replace({cleaned}, '{pat}', '{token}', 'g')"

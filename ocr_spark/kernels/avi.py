@@ -89,12 +89,13 @@ def decode_avi(data: bytes) -> list[np.ndarray]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     w = h = bits = None
+    topdown = False
     compression = None
     palette = None
     frames: list[np.ndarray] = []
 
     def scan(pos: int, end: int, depth: int = 0):
-        nonlocal w, h, bits, compression, palette
+        nonlocal w, h, bits, compression, palette, topdown
         if depth > 16:
             # hostile nesting: real AVIs are 3 LIST levels deep; a crafted
             # chain of nested LIST headers must not hit the recursion limit
@@ -108,7 +109,16 @@ def decode_avi(data: bytes) -> list[np.ndarray]:
                 (_sz, bw, bh, _planes, bbits, comp) = struct.unpack_from(
                     "<IiiHHI", data, body_start
                 )
+                # negative biHeight = top-down rows (the other standard
+                # DIB orientation) — rows are already in display order
+                if bw < 0 or bw > 1 << 20 or abs(bh) > 1 << 20 or (
+                    bw * abs(bh) > 64_000_000
+                ):
+                    raise ValueError(
+                        f"refusing {bw}x{bh} frames (hostile header?)"
+                    )
                 w, h, bits, compression = bw, abs(bh), bbits, comp
+                topdown = bh < 0
                 if bits == 8 and length >= 40 + 256 * 4:
                     pal = np.frombuffer(
                         data, np.uint8, 256 * 4, body_start + 40
@@ -137,5 +147,5 @@ def decode_avi(data: bytes) -> list[np.ndarray]:
             img = img.round().astype(np.uint8)
         else:
             img = rows if palette is None else palette[rows]
-        out.append(img[::-1].copy())  # bottom-up → top-down
+        out.append(img.copy() if topdown else img[::-1].copy())
     return out

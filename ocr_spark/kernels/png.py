@@ -157,6 +157,10 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError("truncated PNG chunk")
         pos += 12 + length
         if tag == b"IHDR":
+            if len(body) != 13:
+                # struct.unpack on a short body raises struct.error, which
+                # is NOT in the callers' skip-never-crash catch set
+                raise ValueError(f"bad IHDR length {len(body)}")
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -195,3 +199,16 @@ def decode_png(data: bytes) -> np.ndarray:
     if color_type == 4:
         return img[:, :, 0]  # gray + alpha → gray
     return img[:, :, :3]  # RGB / RGBA → RGB
+
+
+def png_to_gray_float(payload: bytes) -> np.ndarray:
+    """PNG bytes → float32 grayscale raster in [0, 1] (color reduced to
+    luma by channel mean). THE shared post-decode normalization — both the
+    media decode seam (``operators.multimodal.decode_image``) and the
+    embedded-line parser (``operators.pipeline._lines_of_doc``) go through
+    here, so luma/normalization semantics cannot diverge between the two
+    paths. Raises ``ValueError`` on anything ``decode_png`` rejects."""
+    img = decode_png(payload)
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    return (img / 255.0).astype(np.float32)

@@ -381,6 +381,15 @@ def simhash_band_pairs(
     mask = (1 << bits) - 1
     if max_hamming is None:
         max_hamming = n_bands - 1
+    if max_hamming >= n_bands:
+        # the pigeonhole guarantee only reaches n_bands - 1: a wider
+        # radius would SILENTLY return partial recall (pairs at distance
+        # >= n_bands are found only on coincidental band agreement) —
+        # refuse rather than hand back a result that looks complete
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the guaranteed radius "
+            f"{n_bands - 1} of {n_bands} bands; use more/wider bands"
+        )
     sigs = simhash64(docs).persist()
     try:
         band_vals = [

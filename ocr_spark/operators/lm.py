@@ -66,10 +66,12 @@ def lm_score(
 ) -> DataFrame:
     """Per-document mean trigram log-probability under the corpus model.
 
-    Returns (doc_id, n_trigrams, logprob) — logprob rounded 6 dp, NULL-free
-    (documents shorter than 3 chars score the unseen floor over zero
-    trigrams → logprob = 0.0 with n_trigrams = 0, kept explicit rather
-    than dropped so the gate sees every document).
+    Returns (doc_id, n_trigrams, logprob) — logprob rounded 6 dp, NULL-free.
+    Documents shorter than 3 chars have no evidence of fluency, so they
+    score the UNSEEN-CLASS FLOOR ln(1/(N+V+1)) with n_trigrams = 0 — the
+    worst possible per-trigram score, NOT 0.0 (which would be the best
+    score in the table and let empty/teaser junk sail over every real
+    document in a keep-above-threshold gate).
     """
     model = lm_train_counts(docs, max_model_size)
     totals = model.agg(
@@ -93,13 +95,18 @@ def lm_score(
         F.count("*").cast("long").alias("n_trigrams"),
         F.round(F.avg("lp"), 6).alias("logprob"),
     )
+    floor = F.round(
+        F.log(F.lit(1.0) / (F.col("n_mass") + F.col("v_kept") + F.lit(1.0))),
+        6,
+    )
     return (
         docs.select("doc_id")
+        .crossJoin(F.broadcast(totals))
         .join(scored, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
-            F.coalesce("logprob", F.lit(0.0)).alias("logprob"),
+            F.coalesce(F.col("logprob"), floor).alias("logprob"),
         )
     )
 

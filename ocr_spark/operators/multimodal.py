@@ -82,13 +82,10 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     deterministic fake, honestly labeled: the (H, W) float32 [0,1]
     contract is identical either way.
     """
-    from ocr_spark.kernels.png import PNG_MAGIC, decode_png
+    from ocr_spark.kernels.png import PNG_MAGIC, png_to_gray_float
 
     if payload.startswith(PNG_MAGIC):
-        img = decode_png(payload)
-        if img.ndim == 3:
-            img = img.mean(axis=2)
-        return (img / 255.0).astype(np.float32)
+        return png_to_gray_float(payload)
     digest = hashlib.sha256(payload).digest()
     seed = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
     n = width * height
@@ -100,7 +97,13 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 def _pool_bands(img: np.ndarray) -> np.ndarray:
     """FEATURE_DIM column-band means; images narrower than FEATURE_DIM are
     edge-padded first so no band is empty (empty-band mean is NaN, which
-    would poison downstream similarity math)."""
+    would poison downstream similarity math). Degenerate rasters (zero
+    width OR height — decode_png legitimately yields them for zero-dim
+    headers) pool to the all-zero feature: np.pad(mode='edge') raises on
+    an empty axis and a zero-height mean is NaN, both of which would
+    violate the skip-never-crash/no-NaN discipline."""
+    if img.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
     if img.shape[1] < FEATURE_DIM:
         img = np.pad(
             img, ((0, 0), (0, FEATURE_DIM - img.shape[1])), mode="edge"
@@ -193,6 +196,8 @@ def resize_images(
                 except (ValueError, zlib.error):
                     continue  # corrupt container: skip, never crash
                 h, w = img.shape  # PNG IHDR dims override advisory meta
+                if img.size == 0:
+                    continue  # degenerate raster: nothing to resample
                 if mode == "bilinear":
                     small = bilinear_resample(img, out_h, out_w)
                 else:

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.config import BLOCK_SEPARATOR, LINE_HEIGHT, MAX_LINE_WIDTH
-from ocr_spark.kernels.png import PNG_MAGIC, decode_png
+from ocr_spark.kernels.png import PNG_MAGIC, png_to_gray_float
 
 # embedded-line detector: the stand-in for the reference's detection head
 # over image content (score map → boxes); here lines announce themselves
@@ -72,15 +72,40 @@ def _lines_of_doc(html_text: str):
             continue  # bad padding/length: skip the image, never the task
         if payload.startswith(PNG_MAGIC):
             # real container: dimensions come from the IHDR, not the
-            # attributes (bytes cannot lie; attributes can)
+            # attributes (bytes cannot lie; attributes can). Shared
+            # normalization with the media seam (png_to_gray_float) so the
+            # two decode paths cannot drift.
             try:
-                img = decode_png(payload)
+                img = png_to_gray_float(payload)
             except (ValueError, zlib.error):
                 continue  # corrupt PNG: skip the image, never the task
-            if img.ndim == 3:
-                img = img.mean(axis=2)
-            raw = (img / 255.0).astype(np.float32).ravel()
-            height = img.shape[0]
+            ph, pw = img.shape
+            if ph == LINE_HEIGHT:
+                # already strip-height: use the REAL decoded width — an
+                # 8-tall PNG narrower than the pad width is a valid line
+                # and must not be dropped for not being exactly 8×384
+                pw = min(pw, MAX_LINE_WIDTH)
+                strip = np.zeros((LINE_HEIGHT, MAX_LINE_WIDTH), np.float32)
+                strip[:, :pw] = img[:, :pw]
+                yield i, strip, pw
+            else:
+                # crop to the declared content width before resampling
+                # (RoIRotate crops the box before the affine resample),
+                # bounded by the real raster; a zero crop (degenerate
+                # raster, or declared width 0) is the uniform zero-width
+                # line slot — same rule as the raw-payload branch
+                cw = min(width, pw)
+                if ph == 0 or cw == 0:
+                    if width == 0:
+                        yield i, np.zeros(
+                            (LINE_HEIGHT, MAX_LINE_WIDTH), np.float32
+                        ), 0
+                    continue  # pixels but no declared width: malformed
+                strip, out_w = normalize_strip(
+                    img[:, :cw], mode="bilinear"
+                )
+                yield i, strip, out_w
+            continue
         else:
             raw = (
                 np.frombuffer(payload, dtype=np.uint8).astype(np.float32)

@@ -274,10 +274,12 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     NNNN phone numbers with typed placeholder tokens and count each kind
     (the standard pre-training redaction pass). Pure JVM ``regexp_replace``
     / ``regexp_count`` column expressions — no Python in the path, scales
-    as a map-only stage. Counting happens BEFORE replacement, and patterns
-    apply in a fixed order (email first: an email contains no redacted
-    sub-span of the later patterns, so order only matters for overlap
-    freedom, which these conservative patterns guarantee).
+    as a map-only stage. Each pattern is counted on the text AS THE
+    PREVIOUS PATTERNS LEFT IT, in the same fixed order the replacements
+    apply, so every count equals the number of placeholder tokens actually
+    emitted — overlapping PII ('555-123-4567@corp.example.com': the email
+    match consumes the phone substring) can never report a phantom
+    redaction that does not appear in clean_text.
 
     Returns (doc_id, clean_text, n_email, n_ipv4, n_phone).
     """
@@ -288,7 +290,7 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         # pattern's backslashes ('\b' → backspace) under default parsing
         cols.append(
             F.size(
-                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+                F.regexp_extract_all(cleaned, F.lit(pat), F.lit(0))
             ).cast("long").alias(f"n_{name}")
         )
         cleaned = F.regexp_replace(cleaned, pat, token)

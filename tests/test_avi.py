@@ -98,3 +98,29 @@ def test_fuzz_mutated_valid_avi(cut, byte, pos):
         decode_avi(bytes(data[:cut]))
     except ValueError:
         pass
+
+
+def test_topdown_negative_biheight_decodes_upright():
+    """strf biHeight < 0 = top-down rows (the other standard DIB
+    orientation): frames must NOT be flipped."""
+    import struct as _s
+
+    frames = _frames(1, 4, 5)
+    data = bytearray(encode_avi(frames))
+    # our encoder writes bottom-up (positive biHeight); flip the stored
+    # rows AND negate biHeight → identical logical image, top-down layout
+    idx = bytes(data).index(b"strf")
+    h_off = idx + 8 + 8  # strf tag + len + biSize + biWidth
+    (h,) = _s.unpack_from("<i", data, h_off)
+    _s.pack_into("<i", data, h_off, -h)
+    db = bytes(data).index(b"00db")
+    body = db + 8
+    row = 4 * 5 // 5 * 5  # row_bytes = pad4(5*3) = 16
+    row = 16
+    frame = bytes(data[body : body + row * 4])
+    flipped = b"".join(
+        frame[r * row : (r + 1) * row] for r in reversed(range(4))
+    )
+    data[body : body + row * 4] = flipped
+    got = decode_avi(bytes(data))
+    assert (got[0] == frames[0]).all()

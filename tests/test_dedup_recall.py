@@ -275,3 +275,34 @@ def test_stratified_sample_exact_vs_naive_window(spark):
     }
     assert got == want
     assert len(got) == 30
+
+
+def test_simhash_band_pairs_rejects_unguaranteed_radius(spark, planted):
+    """max_hamming beyond the pigeonhole radius must raise, not silently
+    return partial recall."""
+    from ocr_spark.operators.dedup import simhash_band_pairs
+
+    with pytest.raises(ValueError):
+        simhash_band_pairs(planted, n_bands=8, max_hamming=8)
+
+
+def test_redact_pii_overlapping_counts_match_replacements(spark):
+    """A phone/IP inside an email is consumed by the email replacement;
+    the counts must equal the placeholders actually emitted — no phantom
+    redactions."""
+    from ocr_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at 555-123-4567@corp.example.com today"),
+            (2, "mail user.1.2.3.4@host.example.org soon"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    for r in out.values():
+        assert r.clean_text.count("<EMAIL>") == r.n_email
+        assert r.clean_text.count("<IP>") == r.n_ipv4
+        assert r.clean_text.count("<PHONE>") == r.n_phone
+    assert out[1].n_email == 1 and out[1].n_phone == 0
+    assert out[2].n_email == 1 and out[2].n_ipv4 == 0

@@ -31,14 +31,18 @@ def test_lm_scores_gibberish_below_prose(spark):
     assert min(corpus_scores) > out[900002]
 
 
-def test_lm_short_docs_explicit_zero(spark):
+def test_lm_short_docs_score_unseen_floor(spark):
+    """No-evidence documents (< 3 chars) score the unseen-class FLOOR —
+    the WORST score in the table, never 0.0 (which would be the best and
+    let empty junk through a keep-above-threshold gate)."""
     docs = spark.createDataFrame(
         [(1, "ab"), (2, ""), (3, "a longer document with trigrams")],
         "doc_id long, text string",
     )
     out = {r.doc_id: (r.n_trigrams, r.logprob) for r in lm_score(docs).collect()}
-    assert out[1] == (0, 0.0) and out[2] == (0, 0.0)
-    assert out[3][0] > 0 and out[3][1] < 0
+    assert out[1][0] == 0 and out[2][0] == 0
+    assert out[1][1] == out[2][1]  # both at the floor
+    assert out[1][1] < out[3][1] < 0  # floor is strictly the worst
 
 
 def test_contamination_flags_planted_overlap(spark):

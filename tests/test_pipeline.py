@@ -127,3 +127,29 @@ def test_empty_payload_rule_uniform_across_geometries():
     )
     lines = list(_lines_of_doc(html))
     assert [(i, w) for i, _s, w in lines] == [(0, 0), (1, 0), (4, 0), (5, 0)]
+
+
+def test_eight_tall_narrow_png_strip_is_kept():
+    """An 8-tall PNG line narrower than the 384 pad width is a valid
+    strip (real decoded width wins) — it must not be dropped for not
+    being exactly 8x384."""
+    import base64
+
+    import numpy as np
+
+    from ocr_spark.kernels.font import render_line_font
+    from ocr_spark.kernels.png import encode_png
+    from ocr_spark.operators.pipeline import _lines_of_doc
+
+    strip, width = render_line_font("Hi7")
+    content = (strip[:, :width] * 255).astype(np.uint8)  # 8 x 18
+    b64 = base64.b64encode(encode_png(content)).decode()
+    html = f'<img data-width="{width}" data-strip="{b64}">'
+    lines = list(_lines_of_doc(html))
+    assert len(lines) == 1
+    i, got_strip, got_w = lines[0]
+    assert got_w == width
+    # and it decodes back to the text
+    from ocr_spark.kernels.font import recognize_lines_font
+
+    assert recognize_lines_font(got_strip[None], [got_w]) == ["Hi7"]

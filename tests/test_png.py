@@ -194,3 +194,25 @@ def test_fuzz_mutated_valid_png(cut, byte, pos):
         decode_png(bytes(data[:cut]))
     except (ValueError, zlib.error):
         pass
+
+
+def test_bad_ihdr_length_raises_value_error_not_struct_error():
+    """A chunk header declaring a non-13-byte IHDR must raise ValueError —
+    struct.error is not in the callers' skip-never-crash catch set."""
+    ihdr5 = struct.pack(">IB", 16, 0)  # 5-byte body
+    data = PNG_MAGIC + _chunk(b"IHDR", ihdr5) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(data)
+
+
+def test_zero_dim_rasters_pool_to_zero_feature():
+    """Degenerate (0-width / 0-height) PNGs flow through the feature path
+    as all-zero features — no crash, no NaN poison."""
+    from ocr_spark.operators.multimodal import _pool_bands, decode_image
+
+    for shape in [(8, 0), (0, 8)]:
+        img = decode_image(encode_png(np.zeros(shape, np.uint8)), 16, 16)
+        feat = _pool_bands(img)
+        assert feat.shape == (16,)
+        assert not np.isnan(feat).any()
+        assert (feat == 0).all()
