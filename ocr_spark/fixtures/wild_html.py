@@ -366,4 +366,28 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         '<body><main><article><p>The report summarizes the committee findings on rural broadband coverage and its funding gaps.</p><article class="related"><a href="/r1">Related: broadband map updated</a></article></article></main></body>',
         "The report summarizes the committee findings on rural broadband coverage and its funding gaps.",
     ),
+    (
+        28,
+        "search-results page of bare links is not main content",
+        '<body><div class="results"><div class="result"><a href="/r/1">First result title goes here</a></div><div class="result"><a href="/r/2">Second result title goes here</a></div><div class="result"><a href="/r/3">Third result title goes here</a></div></div><div class="pagination"><a href="/p/2">Next</a></div></body>',
+        "",
+    ),
+    (
+        29,
+        "breadcrumb trail is chrome",
+        '<body><nav class="breadcrumb"><a href="/">Home</a> &gt; <a href="/news">News</a> &gt; <a href="/news/science">Science</a></nav><main><article><p>Astronomers catalogued three hundred new variable stars in the survey\'s first data release this week.</p></article></main></body>',
+        "Astronomers catalogued three hundred new variable stars in the survey's first data release this week.",
+    ),
+    (
+        30,
+        "email-newsletter table layout: body kept, unsubscribe footer stripped",
+        '<body><table role="presentation"><tr><td><p>Welcome to the weekly digest; this issue covers storage formats, query planners and a field report from the data platform migration.</p></td></tr><tr><td class="footer"><a href="/unsub">Unsubscribe</a> <a href="/prefs">Preferences</a></td></tr></table></body>',
+        "Welcome to the weekly digest; this issue covers storage formats, query planners and a field report from the data platform migration.",
+    ),
+    (
+        31,
+        "print header/footer chrome stripped",
+        '<body><div class="print-header">Printed from example.com on 2024-01-01</div><main><article><p>The council approved the riverside path extension after two years of public consultation and budget review.</p></article></main><div class="print-footer"><a href="/terms">Terms</a> Page 1 of 1</div></body>',
+        "The council approved the riverside path extension after two years of public consultation and budget review.",
+    ),
 ]

@@ -28,5 +28,5 @@ def test_corpus_shape():
     ids = [c[0] for c in WILD_CASES]
     assert ids == list(range(len(WILD_CASES)))
     empties = [c[0] for c in WILD_CASES if not c[3]]
-    assert empties == [21]
-    assert len(WILD_CASES) >= 28
+    assert empties == [21, 28]
+    assert len(WILD_CASES) >= 32
