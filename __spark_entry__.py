@@ -626,6 +626,38 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True transitive-closure dup clustering: connected components over
+    the LSH candidate-pair graph by iterative min-label propagation; the
+    oracle computes the same components with a recursive CTE."""
+    from ocr_spark.operators.dedup import dup_clusters, lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(
+        _docs(spark, sf_dir), n_bands=4, rows_per_band=2
+    )
+    return dup_clusters(pairs)
+
+
+def _dedup_clusters_oracle_sql(lsh_pairs_sql: str) -> str:
+    """Recursive-CTE twin of ``dedup.dup_clusters`` over the same
+    ``dedup_lsh`` candidate pairs: undirected reachability, component
+    representative = min reachable id."""
+    return f"""
+        WITH RECURSIVE pairs AS (SELECT * FROM ({lsh_pairs_sql})),
+        e(a, b) AS (
+          SELECT doc_id_a, doc_id_b FROM pairs
+          UNION ALL
+          SELECT doc_id_b, doc_id_a FROM pairs
+        ),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM e
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN e ON reach.id = e.a
+        )
+        SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id
+    """
+
+
 def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage dedup pipeline: LSH banding candidates (recall stage) →
     exact n-gram Jaccard verification of exactly those pairs (precision
@@ -1249,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_redact": q_text_redact,
         "dedup_chunks": q_dedup_chunks,
+        "dedup_clusters": q_dedup_clusters,
         "curate_corpus": q_curate_corpus,
         "curate_sample": q_curate_sample,
         "text_lm": q_text_lm,
@@ -1285,6 +1318,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sig_list = ", ".join(_minhash_sig_sql(i) for i in range(8))
+    # the dedup_lsh pair derivation, shared verbatim by the dedup_lsh
+    # oracle and the dedup_clusters recursive-CTE oracle
+    lsh_pairs_sql = f"""
+            WITH w AS (SELECT doc_id, {_DSHINGLES} AS sh FROM documents),
+            s AS (SELECT doc_id, [{sig_list}] AS sig FROM w),
+            b AS (
+              SELECT doc_id, band,
+                     md5(concat_ws('|', sig[2*band+1], sig[2*band+2])) AS bucket
+              FROM s, (SELECT unnest(range(4)) AS band)
+            ),
+            ok AS (
+              SELECT band, bucket FROM b GROUP BY band, bucket
+              HAVING count(*) > 1 AND count(*) <= 1024
+            ),
+            p AS (SELECT b.* FROM b JOIN ok USING (band, bucket))
+            SELECT DISTINCT a.doc_id AS doc_id_a, c.doc_id AS doc_id_b
+            FROM p a JOIN p c USING (band, bucket)
+            WHERE a.doc_id < c.doc_id
+    """
     return {
         "extract_html": f"""
             SELECT {_URL_SQL} AS url, lang, text AS extracted_text,
@@ -1750,6 +1802,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
         "text_redact": _text_redact_oracle_sql(),
         "dedup_chunks": _dedup_chunks_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(lsh_pairs_sql),
         "curate_corpus": _curate_corpus_oracle_sql(),
         "curate_sample": _curate_sample_oracle_sql(),
         "text_lm": _text_lm_oracle_sql(),

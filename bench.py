@@ -35,7 +35,7 @@ def main() -> None:
             "sim_topk,rel_pricing_summary,rel_nation_revenue,events_windowed,"
             "events_sessions,union_branches,sim_ivf,text_repetition,media_features,"
             "ocr_noisy,dedup_verified,extract_pdf_rotated,extract_full_noisy,"
-            "dedup_embedding,dedup_simhash_pairs,dedup_chunks,text_redact,curate_corpus,curate_sample,text_lm,text_contamination"
+            "dedup_embedding,dedup_simhash_pairs,dedup_chunks,text_redact,curate_corpus,curate_sample,text_lm,text_contamination,dedup_clusters"
         ),
     )
     ap.add_argument("--reps", type=int, default=2)

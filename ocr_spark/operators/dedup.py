@@ -541,6 +541,80 @@ def remove_boilerplate_chunks(
         exploded.unpersist()
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components over a duplicate-pair graph → per-doc cluster
+    representative (the component's min doc_id).
+
+    ``keep_representatives`` applies the min-id rule PER PAIR — an
+    approximation that can keep one member of a transitive chain
+    (a–b, b–c: c's pair says drop c, b's pair says drop b, a survives —
+    but a chain a–b, c–b with a<b, b>c keeps BOTH a and c even though all
+    three are one duplicate cluster). This operator computes the true
+    transitive closure by iterative min-label propagation: every vertex
+    starts labeled with itself; each round every vertex takes the min of
+    its own label and its neighbors' labels; fixpoint = per-component min
+    id. Rounds needed = component diameter (web dup clusters are shallow;
+    ``max_iter`` bounds the pathological chain). Per round: one
+    edges⋈labels equi-join + one groupBy(min) — all partial-aggregated
+    slim (id, id) rows; lineage is cut with a localCheckpoint per round so
+    the plan does not grow with iterations. Deterministic.
+
+    Returns (doc_id, cluster_rep) for every vertex that appears in
+    ``pairs``. Raises if the fixpoint is not reached within max_iter.
+    """
+    edges = (
+        pairs.select(
+            F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(
+                "doc_id", F.col("label").alias("cluster_rep")
+            )
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iter} rounds "
+        f"(component diameter exceeds the bound)"
+    )
+
+
 def keep_representatives(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Given dup pairs (a < b), drop every doc that appears as the larger id
     of any pair — the min-id representative of each dup cluster survives.

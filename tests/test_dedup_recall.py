@@ -306,3 +306,43 @@ def test_redact_pii_overlapping_counts_match_replacements(spark):
         assert r.clean_text.count("<PHONE>") == r.n_phone
     assert out[1].n_email == 1 and out[1].n_phone == 0
     assert out[2].n_email == 1 and out[2].n_ipv4 == 0
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """min-label propagation finds the true component representative on
+    shapes the per-pair min-id rule gets wrong: in a-b, c-b (a<b, c<b) the
+    pair rule keeps BOTH a and c; the component says one cluster, rep a."""
+    from ocr_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 5), (3, 5),          # star: {1,3,5} rep 1 (pair rule keeps 1 AND 3)
+            (10, 11), (11, 12), (12, 13),  # chain: {10..13} rep 10
+            (20, 21),                # simple pair
+        ],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {r.doc_id: r.cluster_rep for r in dup_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 3: 1, 5: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dup_clusters_convergence_bound(spark):
+    """A chain longer than max_iter raises instead of returning a wrong
+    fixpoint silently."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_id_a long, doc_id_b long"
+    )
+    assert (
+        dup_clusters(chain, max_iter=20).filter("cluster_rep = 0").count()
+        == 13
+    )
+    with _pytest.raises(RuntimeError):
+        dup_clusters(chain, max_iter=3)
