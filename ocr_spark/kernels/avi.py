@@ -85,17 +85,30 @@ def _walk_chunks(data: bytes, pos: int, end: int):
 
 
 def decode_avi(data: bytes) -> list[np.ndarray]:
-    """AVI bytes → list of (H, W) uint8 grayscale frames (BGR averaged)."""
+    """AVI bytes → list of (H, W) uint8 grayscale frames (BGR averaged).
+
+    Multi-stream files decode the FIRST 'vids' stream: the strf is latched
+    only under a 'vids' strh and movi chunks are matched by that stream's
+    two-digit index ('01db' when an audio strl is declared first)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     w = h = bits = None
     topdown = False
     compression = None
     palette = None
-    frames: list[np.ndarray] = []
+    frames: list[tuple[bytes, int, int]] = []
+    # stream bookkeeping: strh chunks appear in stream order (stream 0,
+    # 1, ...); the movi frame tags are '<NN>db'/'<NN>dc' with NN = that
+    # index, so a file declaring its audio strl first carries video on
+    # stream 01 — latch the strf and collect frames for the FIRST 'vids'
+    # stream, wherever it sits
+    n_streams = 0
+    video_stream = None
+    last_strh_type = None
 
     def scan(pos: int, end: int, depth: int = 0):
         nonlocal w, h, bits, compression, palette, topdown
+        nonlocal n_streams, video_stream, last_strh_type
         if depth > 16:
             # hostile nesting: real AVIs are 3 LIST levels deep; a crafted
             # chain of nested LIST headers must not hit the recursion limit
@@ -103,7 +116,14 @@ def decode_avi(data: bytes) -> list[np.ndarray]:
         for tag, body_start, length in _walk_chunks(data, pos, end):
             if tag == b"LIST":
                 scan(body_start + 4, body_start + length, depth + 1)
-            elif tag == b"strf" and w is None:
+            elif tag == b"strh":
+                if length < 4:
+                    raise ValueError("short stream header")
+                last_strh_type = data[body_start : body_start + 4]
+                if last_strh_type == b"vids" and video_stream is None:
+                    video_stream = n_streams
+                n_streams += 1
+            elif tag == b"strf" and last_strh_type == b"vids" and w is None:
                 if length < 40:
                     raise ValueError("short BITMAPINFOHEADER")
                 (_sz, bw, bh, _planes, bbits, comp) = struct.unpack_from(
@@ -124,12 +144,17 @@ def decode_avi(data: bytes) -> list[np.ndarray]:
                         data, np.uint8, 256 * 4, body_start + 40
                     ).reshape(256, 4)
                     palette = pal[:, :3].mean(axis=1).astype(np.uint8)
-            elif tag in (b"00db", b"00dc") and length:
-                frames.append((body_start, length))
+            elif (
+                length
+                and tag[:2].isdigit()
+                and tag[2:] in (b"db", b"dc")
+            ):
+                frames.append((tag, body_start, length))
 
     scan(12, len(data))
-    if w is None:
-        raise ValueError("missing strf header")
+    if w is None or video_stream is None:
+        raise ValueError("missing video strh/strf header")
+    want = b"%02d" % video_stream
     if compression != 0:
         raise ValueError(f"compressed AVI (fourcc {compression}) unsupported")
     if bits not in (8, 24):
@@ -137,7 +162,9 @@ def decode_avi(data: bytes) -> list[np.ndarray]:
     ch = 3 if bits == 24 else 1
     row_bytes = _pad4(w * ch)
     out = []
-    for body_start, length in frames:
+    for tag, body_start, length in frames:
+        if tag[:2] != want:
+            continue  # frames of a non-video stream (audio, second video)
         if length < row_bytes * h:
             raise ValueError("short DIB frame")
         raw = np.frombuffer(data, np.uint8, row_bytes * h, body_start)

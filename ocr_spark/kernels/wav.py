@@ -39,6 +39,10 @@ def encode_wav(
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
+        # RIFF chunks are word-aligned: an odd-length data chunk (8-bit PCM,
+        # odd sample count) carries a pad byte NOT counted in the chunk
+        # length — third-party parsers walk on the aligned boundary
+        + (b"\x00" if len(data) & 1 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -72,7 +76,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("zero channels")
     if bits == 16:
         x = np.frombuffer(raw[: len(raw) - len(raw) % (2 * channels)], "<i2")
-        x = x.astype(np.float32) / 32767.0
+        # /32767 keeps the encoder round-trip exact; the one asymmetric
+        # value -32768 (full-scale negative from a foreign encoder) would
+        # land at ~-1.00003, so clamp to the documented [-1, 1] contract
+        x = np.maximum(x.astype(np.float32) / 32767.0, -1.0)
     elif bits == 8:
         x = np.frombuffer(raw[: len(raw) - len(raw) % channels], np.uint8)
         x = (x.astype(np.float32) - 128.0) / 127.0

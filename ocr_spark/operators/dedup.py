@@ -497,6 +497,12 @@ def remove_boilerplate_chunks(
         f"AS INT) - 1), i -> array_join(slice({_WORDS}, i * {cw} + 1, {cw})"
         f", ' ')) END"
     )
+    # frequency is keyed on md5(chunk) while the DuckDB oracle groups on
+    # the raw chunk text: an md5 collision between distinct chunks would
+    # over-remove content and diverge from the oracle. Same documented
+    # collision assumption as every other md5-keyed dedup oracle here
+    # (exact_dedup, minhash, LSH buckets) — astronomically unlikely, and
+    # accepted for the 16-byte-key shuffle it buys.
     exploded = (
         ensure_min_partitions(docs)
         .select("doc_id", F.posexplode(F.expr(chunks_expr)).alias("pos", "chunk"))

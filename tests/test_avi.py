@@ -124,3 +124,72 @@ def test_topdown_negative_biheight_decodes_upright():
     data[body : body + row * 4] = flipped
     got = decode_avi(bytes(data))
     assert (got[0] == frames[0]).all()
+
+def test_multistream_audio_first_video_on_stream_01():
+    """A file declaring its audio strl before the video strl carries video
+    frames as '01db' chunks: the decoder must latch the strf under the
+    'vids' strh (not the audio strf declared first) and match frames by
+    the video stream's index."""
+    import struct
+
+    f = _frames(n=3, h=8, w=8)
+    base = encode_avi(f)
+
+    def chunk(tag, body):
+        out = struct.pack("<4sI", tag, len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    # audio stream 00: 'auds' strh + a WAVEFORMATEX-ish strf
+    astrh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, 8000, 0, 100, 2, 0,
+        0, 0, 0, 0, 0,
+    )
+    astrf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    audio_strl = lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
+
+    # rebuild: hdrl = avih + audio strl + original video strl; movi frames
+    # re-tagged 00db → 01db, plus interleaved audio '00wb' chunks
+    start = base.index(b"avih")
+    (avih_len,) = struct.unpack_from("<I", base, start + 4)
+    avih = base[start : start + 8 + avih_len]
+    vs = base.index(b"strh") - 12
+    (vlen,) = struct.unpack_from("<I", base, vs + 4)
+    video_strl = base[vs : vs + 8 + vlen]
+    movi_start = base.index(b"movi")
+    movi_body = base[movi_start + 4 : ]
+    movi_body = movi_body.replace(b"00db", b"01db")
+    audio_bytes = chunk(b"00wb", b"\x01\x02" * 50)
+    hdrl = lst(b"hdrl", avih + audio_strl + video_strl)
+    movi = lst(b"movi", audio_bytes + movi_body + audio_bytes)
+    riff_body = b"AVI " + hdrl + movi
+    avi = struct.pack("<4sI", b"RIFF", len(riff_body)) + riff_body
+
+    got = decode_avi(avi)
+    assert len(got) == 3
+    assert all((a == b).all() for a, b in zip(f, got))
+
+
+def test_foreign_stream_frames_ignored():
+    """'02db' chunks of an undeclared stream don't leak into the decoded
+    video frame list."""
+    import struct
+
+    f = _frames(n=2, h=8, w=8)
+    avi = encode_avi(f)
+    # append a junk frame tagged for stream 02 inside movi: re-wrap movi
+    movi_start = avi.index(b"LIST", avi.index(b"movi") - 8)
+    junk = struct.pack("<4sI", b"02db", 4) + b"\x00" * 4
+    (movi_len,) = struct.unpack_from("<I", avi, movi_start + 4)
+    patched = (
+        avi[:movi_start + 4]
+        + struct.pack("<I", movi_len + len(junk))
+        + avi[movi_start + 8 : movi_start + 8 + movi_len]
+        + junk
+    )
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    got = decode_avi(patched)
+    assert len(got) == 2

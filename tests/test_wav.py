@@ -100,3 +100,36 @@ def test_fuzz_mutated_valid_wav(cut, byte, pos):
         decode_wav(bytes(data[:cut]))
     except ValueError:
         pass
+
+def test_full_scale_negative_clamped_to_contract():
+    """A foreign encoder can emit -32768 (the asymmetric 16-bit extreme);
+    /32767 would yield ~-1.00003, outside the documented [-1, 1] contract
+    — decode clamps it to exactly -1.0."""
+    samples = np.array([-32768, 32767, 0], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 16)
+    data = samples.tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    y, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert y.min() == -1.0
+    assert y.max() == 1.0
+    assert np.all(y >= -1.0) and np.all(y <= 1.0)
+
+
+def test_odd_length_data_chunk_word_aligned():
+    """8-bit PCM with an odd sample count: the encoder writes the RIFF pad
+    byte after the data chunk (not counted in the chunk length), so the
+    container is word-aligned for third-party parsers and the declared
+    RIFF size matches the actual file length."""
+    x = _tone(n=333)
+    wav = encode_wav(x, 8000, bits=8)
+    (riff_len,) = struct.unpack_from("<I", wav, 4)
+    assert riff_len == len(wav) - 8  # pad byte counted in the RIFF size
+    (data_len,) = struct.unpack_from("<I", wav, wav.index(b"data") + 4)
+    assert data_len == 333  # ...but not in the chunk length
+    assert len(wav) % 2 == 0
+    y, _ = decode_wav(wav)
+    assert len(y) == 333
