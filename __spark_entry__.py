@@ -585,10 +585,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_spark.operators.dedup import minhash_signatures
+def q_dedup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document near-dup signatures, both families in one panel: the
+    4-hash MinHash signature (shingle Jaccard sketch) and the 64-bit
+    SimHash (token-frequency-weighted bit votes, packed hi/lo). Each is a
+    single-pass projection; the panel joins the two slim signature tables
+    on doc_id."""
+    from ocr_spark.operators.dedup import minhash_signatures, simhash64
 
-    return minhash_signatures(_docs(spark, sf_dir), n_hashes=4)
+    docs = _docs(spark, sf_dir)
+    return minhash_signatures(docs, n_hashes=4).join(simhash64(docs), "doc_id")
 
 
 def q_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,34 +676,50 @@ def q_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs(docs, pairs, min_jaccard=0.0)
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_spark.operators.dedup import simhash64
-
-    return simhash64(_docs(spark, sf_dir))
-
-
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_spark.operators.textstats import token_stats
+    """Token statistics + the normalized document fingerprint — both pure
+    per-row projections over one scan (Catalyst collapses the join of two
+    projections of the same source into column pruning + one exchange)."""
+    from ocr_spark.operators.textstats import fingerprint, token_stats
 
-    return token_stats(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    return token_stats(docs).join(fingerprint(docs), "doc_id")
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_spark.operators.textstats import quality_score
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document quality-signal panel a curation pipeline computes
+    in one pass: C4/Gopher quality ratios, repetition stats (dup-token +
+    top-bigram), and the zlib compression gate. Quality and compression
+    are narrow per-row projections; repetition's top-bigram needs its own
+    explode+groupBy — joined back on doc_id (slim rows). The compression
+    ratio itself has no SQL twin (no zlib in ANSI SQL) so it is asserted
+    via two per-doc codec invariants: the ratio lies in zlib's possible
+    band for word text, and doubling the text strictly improves the ratio
+    (a broken codec path flips a boolean or the exact byte count)."""
+    from ocr_spark.operators.textstats import (
+        compression_ratio,
+        quality_score,
+        repetition_stats,
+    )
 
-    return quality_score(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    comp = compression_ratio(docs).select(
+        "doc_id",
+        "n_bytes",
+        ((F.col("ratio") > 0.2) & (F.col("ratio") < 1.3)).alias("ratio_in_band"),
+        (F.col("ratio_2x") < F.col("ratio")).alias("doubling_gains"),
+    )
+    return (
+        quality_score(docs)
+        .join(repetition_stats(docs), "doc_id")
+        .join(comp, "doc_id")
+    )
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.operators.textstats import lang_id
 
     return lang_id(_docs(spark, sf_dir))
-
-
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_spark.operators.textstats import fingerprint
-
-    return fingerprint(_docs(spark, sf_dir))
 
 
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,12 +788,6 @@ def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     topk = cosine_topk(emb, _queries_df(spark, sf_dir), k=5)
     return label_knn_accuracy(topk, emb)
-
-
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ocr_spark.operators.textstats import repetition_stats
-
-    return repetition_stats(_docs(spark, sf_dir))
 
 
 # the deterministic PII suffix both sides append to every document before
@@ -996,27 +1012,6 @@ def _text_contamination_oracle_sql() -> str:
     """
 
 
-def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib compression-ratio gate, hard-checked per document: n_bytes is
-    exact-matched against the oracle's byte length, and two codec
-    invariants are asserted per doc — the ratio lies in zlib's possible
-    band (0.2, 1.3) for word text of this length, and doubling the text
-    strictly improves the ratio (the dictionary captures the repeat). A
-    broken codec path (wrong encoding, truncated payload, swapped columns)
-    flips one of the booleans or the byte count. The raw ratio itself has
-    no SQL twin (no zlib in ANSI SQL), so it is asserted via invariants
-    rather than value-matched."""
-    from ocr_spark.operators.textstats import compression_ratio
-
-    r = compression_ratio(_docs(spark, sf_dir))
-    return r.select(
-        "doc_id",
-        "n_bytes",
-        ((F.col("ratio") > 0.2) & (F.col("ratio") < 1.3)).alias("ratio_in_band"),
-        (F.col("ratio_2x") < F.col("ratio")).alias("doubling_gains"),
-    )
-
-
 def q_text_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 documents per language by quality score (window top-k over a
     computed metric — the corpus-curation 'best docs per stratum' query)."""
@@ -1133,21 +1128,18 @@ def q_rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentile aggregates (median / p95 price per return flag)."""
+def q_rel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic + second-moment aggregates per return flag: exact
+    percentiles (median/p95), min/max, stddev, correlation, covariance —
+    ONE groupBy produces all seven (one shuffle; the separate
+    percentile/stats queries of earlier rounds were two scans of the same
+    table for columns that share a grouping)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
         F.round(F.min("l_extendedprice"), 4).alias("lo"),
         F.round(F.max("l_extendedprice"), 4).alias("hi"),
-    )
-
-
-def q_rel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second-moment aggregates: stddev + correlation per flag."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
             "qty_price_corr"
@@ -1275,7 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_noisy": q_ocr_noisy,
         "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
+        "dedup_signatures": q_dedup_signatures,
         "dedup_lsh": q_dedup_lsh,
         "dedup_verified": q_dedup_verified,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1288,13 +1280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         "dedup_embedding": q_dedup_embedding,
         "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
         "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
+        "text_signals": q_text_signals,
         "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "text_compression": q_text_compression,
         "text_topk_quality": q_text_topk_quality,
         "union_branches": q_union_branches,
         "sim_topk": q_sim_topk,
@@ -1305,7 +1293,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_orders": q_rel_top_orders,
         "rel_nation_revenue": q_rel_nation_revenue,
         "rel_rollup": q_rel_rollup,
-        "rel_percentiles": q_rel_percentiles,
         "rel_stats": q_rel_stats,
         "text_edit_distance": q_text_edit_distance,
         "rel_anti_join": q_rel_anti_join,
@@ -1451,12 +1438,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
         """,
-        "dedup_minhash": f"""
-            WITH w AS (SELECT doc_id, {_DSHINGLES} AS sh FROM documents)
-            SELECT doc_id,
-                   {_minhash_sig_sql(0)} AS sig_0, {_minhash_sig_sql(1)} AS sig_1,
-                   {_minhash_sig_sql(2)} AS sig_2, {_minhash_sig_sql(3)} AS sig_3
-            FROM w
+        "dedup_signatures": f"""
+            WITH w AS (SELECT doc_id, {_DSHINGLES} AS sh FROM documents),
+            m AS (
+              SELECT doc_id,
+                     {_minhash_sig_sql(0)} AS sig_0, {_minhash_sig_sql(1)} AS sig_1,
+                     {_minhash_sig_sql(2)} AS sig_2, {_minhash_sig_sql(3)} AS sig_3
+              FROM w
+            ),
+            s AS (SELECT * FROM ({_simhash_oracle_sql()}))
+            SELECT m.doc_id, sig_0, sig_1, sig_2, sig_3,
+                   simhash_hi, simhash_lo
+            FROM m JOIN s USING (doc_id)
         """,
         "dedup_lsh": f"""
             WITH w AS (SELECT doc_id, {_DSHINGLES} AS sh FROM documents),
@@ -1519,10 +1512,11 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
                          / greatest(len({_DWORDS}), 1), 6) AS avg_token_len,
                    len(regexp_extract_all(text,
-                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_subtokens
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_subtokens,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
         """,
-        "text_quality": f"""
+        "text_signals": f"""
             WITH t AS (
               SELECT doc_id,
                      len({_DWORDS}) AS n_tokens,
@@ -1531,18 +1525,56 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter({_DWORDS},
                          x -> x IN ('the','a','and','of','in','to','is'))) AS n_stop
               FROM documents
+            ),
+            q AS (
+              SELECT doc_id, n_tokens,
+                     round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6)
+                         AS punct_ratio,
+                     round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6)
+                         AS stop_ratio,
+                     round(least(n_tokens / 64.0, 1.0)
+                           * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+                           * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE)
+                                                / greatest(n_tokens, 1) * 5.0, 1.0)), 6)
+                         AS quality
+              FROM t
+            ),
+            base AS (
+              SELECT doc_id,
+                     round(1.0 - CAST(len(list_distinct({_DWORDS})) AS DOUBLE)
+                           / greatest(len({_DWORDS}), 1), 6) AS dup_token_ratio
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len({_DWORDS}) < 2 THEN []
+                ELSE list_transform(range(len({_DWORDS}) - 1),
+                     i -> array_to_string({_DWORDS}[i+1:i+2], ' ')) END
+              ) AS b
+              FROM documents
+            ),
+            counts AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY ALL),
+            top AS (
+              SELECT doc_id,
+                     round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                         AS top_bigram_ratio
+              FROM counts GROUP BY doc_id
+            ),
+            comp AS (
+              SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     TRUE AS ratio_in_band,
+                     TRUE AS doubling_gains
+              FROM documents
             )
-            SELECT doc_id, n_tokens,
-                   round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6)
-                       AS punct_ratio,
-                   round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6)
-                       AS stop_ratio,
-                   round(least(n_tokens / 64.0, 1.0)
-                         * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
-                         * (0.5 + 0.5 * least(CAST(n_stop AS DOUBLE)
-                                              / greatest(n_tokens, 1) * 5.0, 1.0)), 6)
-                       AS quality
-            FROM t
+            SELECT q.doc_id, n_tokens, punct_ratio, stop_ratio, quality,
+                   dup_token_ratio,
+                   coalesce(top_bigram_ratio, 0.0) AS top_bigram_ratio,
+                   n_bytes, ratio_in_band, doubling_gains
+            FROM q
+            JOIN base USING (doc_id)
+            LEFT JOIN top USING (doc_id)
+            JOIN comp USING (doc_id)
         """,
         "text_langid": f"""
             WITH t AS (
@@ -1567,37 +1599,6 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'en' END AS predicted_lang,
                    c_en, c_de, c_fr, c_es, c_zh
             FROM t
-        """,
-        "text_fingerprint": """
-            SELECT doc_id,
-                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-            FROM documents
-        """,
-        "text_repetition": f"""
-            WITH base AS (
-              SELECT doc_id,
-                     round(1.0 - CAST(len(list_distinct({_DWORDS})) AS DOUBLE)
-                           / greatest(len({_DWORDS}), 1), 6) AS dup_token_ratio
-              FROM documents
-            ),
-            bg AS (
-              SELECT doc_id, unnest(
-                CASE WHEN len({_DWORDS}) < 2 THEN []
-                ELSE list_transform(range(len({_DWORDS}) - 1),
-                     i -> array_to_string({_DWORDS}[i+1:i+2], ' ')) END
-              ) AS b
-              FROM documents
-            ),
-            counts AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY ALL),
-            top AS (
-              SELECT doc_id,
-                     round(CAST(max(c) AS DOUBLE) / sum(c), 6)
-                         AS top_bigram_ratio
-              FROM counts GROUP BY doc_id
-            )
-            SELECT base.doc_id, dup_token_ratio,
-                   coalesce(top_bigram_ratio, 0.0) AS top_bigram_ratio
-            FROM base LEFT JOIN top USING (doc_id)
         """,
         "text_topk_quality": f"""
             WITH t AS (
@@ -1708,16 +1709,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        "rel_percentiles": """
+        "rel_stats": """
             SELECT l_returnflag,
                    round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                    round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
                    round(min(l_extendedprice), 4) AS lo,
-                   round(max(l_extendedprice), 4) AS hi
-            FROM lineitem GROUP BY l_returnflag
-        """,
-        "rel_stats": """
-            SELECT l_returnflag,
+                   round(max(l_extendedprice), 4) AS hi,
                    round(stddev_samp(l_extendedprice), 4) AS sd_price,
                    round(corr(l_quantity, l_extendedprice), 6)
                        AS qty_price_corr,
@@ -1798,7 +1795,6 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM n GROUP BY user_id, session_no
         """,
-        "dedup_simhash": _simhash_oracle_sql(),
         "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
         "text_redact": _text_redact_oracle_sql(),
         "dedup_chunks": _dedup_chunks_oracle_sql(),
@@ -1812,13 +1808,6 @@ def oracle_sql() -> dict[str, str]:
         "nodes_profile": _nodes_profile_oracle_sql(),
         "extract_quality": _extract_quality_oracle_sql(),
         "extract_html_wild": _extract_html_wild_oracle_sql(),
-        "text_compression": """
-            SELECT doc_id,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   TRUE AS ratio_in_band,
-                   TRUE AS doubling_gains
-            FROM documents
-        """,
         "sim_ivf": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),

@@ -31,9 +31,9 @@ def main() -> None:
         "--queries",
         default=(
             "extract_html,extract_full,dom_nodes,extract_pdf,ocr_roundtrip,"
-            "dedup_exact,dedup_minhash,dedup_lsh,text_quality,text_langid,"
+            "dedup_exact,dedup_signatures,dedup_lsh,text_signals,text_langid,"
             "sim_topk,rel_pricing_summary,rel_nation_revenue,events_windowed,"
-            "events_sessions,union_branches,sim_ivf,text_repetition,media_features,"
+            "events_sessions,union_branches,sim_ivf,media_features,"
             "ocr_noisy,dedup_verified,extract_pdf_rotated,extract_full_noisy,"
             "dedup_embedding,dedup_simhash_pairs,dedup_chunks,text_redact,curate_corpus,curate_sample,text_lm,text_contamination,dedup_clusters"
         ),

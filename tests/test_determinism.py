@@ -20,7 +20,7 @@ NAMES = [
     "extract_pdf",
     "ocr_roundtrip",
     "ocr_noisy",
-    "dedup_simhash",
+    "dedup_signatures",
     "sim_ivf",
     "media_features",
     "events_sessions",

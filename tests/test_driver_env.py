@@ -24,7 +24,7 @@ import duckdb, math
 
 SF = "/root/testdata/sf0.001"
 NAMES = ["extract_html", "extract_full", "events_sessions", "events_windowed",
-         "events_asof", "text_quality", "dedup_minhash", "sim_topk",
+         "events_asof", "text_signals", "dedup_signatures", "sim_topk",
          "rel_rollup"]
 
 con = duckdb.connect()

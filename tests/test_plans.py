@@ -38,7 +38,12 @@ def test_column_pruning_flagship(spark):
 
 
 def test_column_pruning_textstats(spark):
-    q = em.q_text_quality(spark, SF)
+    # the quality-score OPERATOR stays a pure map-side projection (the
+    # text_signals contract query joins it to the repetition/compression
+    # panels, which legitimately shuffle slim per-doc rows)
+    from ocr_spark.operators.textstats import quality_score
+
+    q = quality_score(em._docs(spark, SF))
     schemas = read_schema_columns(q)
     assert schemas and set(schemas[0]) == {"doc_id", "text"}
     # pure map-side pipeline: no shuffle at all, fully codegen'd
@@ -91,7 +96,10 @@ def test_minhash_no_aggregation_shuffle(spark):
     small-file scan so the HOF passes use all cores (no-op at scale)."""
     from ocr_spark.plans.inspect import explain_str
 
-    for q in (em.q_dedup_minhash(spark, SF), em.q_dedup_simhash(spark, SF)):
+    from ocr_spark.operators.dedup import minhash_signatures, simhash64
+
+    docs = em._docs(spark, SF)
+    for q in (minhash_signatures(docs, n_hashes=4), simhash64(docs)):
         plan = explain_str(q, "simple")
         assert "Exchange hashpartitioning" not in plan, plan
         assert "Exchange rangepartitioning" not in plan, plan
