@@ -1,0 +1,690 @@
+"""Pure-stdlib baseline JPEG (JFIF) codec: the reference's flagship input
+format, completing the PNG / WAV / AVI pure-stdlib codec family.
+
+The reference reads JPEGs as its primary input (``cv2.imread`` of
+``img.jpg`` at ``/root/reference/test_img.py:38-43``; the TF ingest path
+calls ``decode_jpeg`` variants at
+``/root/reference/DataPreprocess/DataGenerator.py:599-602``); web crawls
+are overwhelmingly JPEG. This container has no image libraries, so the
+engine carries its own ITU T.81 baseline implementation:
+
+- ``encode_jpeg``: baseline sequential JFIF — 8-bit grayscale (one
+  component) or RGB (YCbCr 4:4:4, no subsampling), Annex-K quantization
+  tables scaled by the libjpeg quality formula, Annex-K Huffman tables,
+  2-D DCT via the orthonormal matrix form (exactly the T.81 normalization:
+  a uniform block's DC coefficient is ``8 * (v - 128)``).
+- ``decode_jpeg``: baseline sequential (SOF0) and extended sequential
+  (SOF1) scans from ANY conforming encoder — 8/16-bit DQT, multiple DHT
+  segments, restart intervals (DRI/RSTn), component sampling factors 1–2
+  with replication upsampling (so 4:2:0 / 4:2:2 files from real encoders
+  decode), grayscale and YCbCr. Progressive (SOF2), arithmetic coding,
+  and hierarchical modes raise ``ValueError`` — the callers'
+  malformed-payload discipline turns that into a row skip, never a task
+  crash (same contract as ``kernels.png``).
+- ``jpeg_dims``: header-only SOFn scan — dimensions come from the
+  container bytes, never from advisory metadata.
+
+Hostile-input discipline mirrors ``kernels.png``: the declared raster is
+bounded BEFORE any allocation (``MAX_DECODE_PIXELS``), marker lengths are
+validated against the buffer, Huffman tables are structurally checked
+(≤256 symbols, no over-long code chains), and truncation anywhere raises
+``ValueError``.
+
+Everything batch-shaped is vectorized NumPy (DCT/IDCT/quantization run
+over all blocks at once via einsum); only the inherently sequential
+entropy coding walks bit-by-bit in Python.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_MAGIC = b"\xff\xd8"
+
+# shared with kernels.png: bound the DECLARED raster before allocating
+MAX_DECODE_PIXELS = 64_000_000
+
+# ---------------------------------------------------------------------------
+# Constant tables (ITU T.81 Annex K — public spec values)
+# ---------------------------------------------------------------------------
+
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# standard Huffman tables: (bits[1..16] counts, symbol values)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _zigzag_order() -> np.ndarray:
+    """The T.81 zigzag scan as natural flat indices (generated, not
+    transcribed — the diagonal-walk definition is less typo-prone than a
+    64-entry literal)."""
+    out = []
+    for s in range(15):
+        rng = range(s + 1)
+        for r in (rng if s % 2 else reversed(rng)):
+            c = s - r
+            if r < 8 and c < 8:
+                out.append(r * 8 + c)
+    return np.array(out, dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+
+# orthonormal 8-point DCT-II matrix: C @ f @ C.T is exactly the T.81
+# forward DCT normalization (uniform block v → DC = 8·(v-128))
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    _s = np.sqrt(1.0 / 8.0) if _u == 0 else np.sqrt(2.0 / 8.0)
+    _DCT[_u] = _s * np.cos((2 * np.arange(8) + 1) * _u * np.pi / 16.0)
+
+
+def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 50 = Annex K verbatim, 100 = all-ones."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) canonical Huffman assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol lookup for the bit-serial decoder."""
+    if sum(bits) != len(vals) or sum(bits) > 256:
+        raise ValueError("malformed Huffman table")
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        if code > (1 << length):
+            raise ValueError("over-subscribed Huffman table")
+        code <<= 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing (T.81 §B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> tuple[int, int]:
+    """(size category, extra bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    extra = v if v > 0 else v + (1 << cat) - 1
+    return cat, extra
+
+
+def _encode_blocks(
+    writer: _BitWriter,
+    zz: np.ndarray,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    pred: int,
+) -> int:
+    """Entropy-encode quantized zigzag blocks [n, 64]; returns DC pred."""
+    for blk in zz:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        cat, extra = _category(diff)
+        code, ln = dc_codes[cat]
+        writer.write(code, ln)
+        if cat:
+            writer.write(extra, cat)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                writer.write(code, ln)
+                run -= 16
+            cat, extra = _category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            writer.write(code, ln)
+            writer.write(extra, cat)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            writer.write(code, ln)
+    return pred
+
+
+def _plane_to_zz(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """8-padded float plane → quantized zigzag blocks [n_blocks, 64] in
+    row-major block order. Vectorized DCT + quantization."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    coeffs = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
+    q = np.round(coeffs.reshape(-1, 64) / qtab).astype(np.int64)
+    return q[:, _ZZ]
+
+
+def _pad8(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB → baseline JFIF bytes.
+
+    Grayscale emits one component; RGB converts to YCbCr and encodes
+    4:4:4 (every component full resolution — no subsampling, maximum
+    fidelity for the OCR-strip use where chroma edges carry glyphs).
+    """
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError(f"encode_jpeg wants uint8 (H,W)[,3], got "
+                         f"{img.dtype} {img.shape}")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError(f"encode_jpeg wants 3 channels, got {img.shape[2]}")
+    h, w = img.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("encode_jpeg wants a non-empty image")
+    if h > 65535 or w > 65535:
+        raise ValueError("JPEG dimensions cap at 65535")
+
+    gray = img.ndim == 2
+    ql = _scale_quant(_QUANT_LUMA, quality)
+    qc = _scale_quant(_QUANT_CHROMA, quality)
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        qtabs = [ql]
+        tab_ids = [0]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qtabs = [ql, qc, qc]
+        tab_ids = [0, 1, 1]
+
+    out = bytearray(JPEG_MAGIC)
+    # APP0 / JFIF 1.01, no thumbnail
+    out += b"\xff\xe0" + struct.pack(
+        ">H5sBBBHHBB", 16, b"JFIF\x00", 1, 1, 0, 1, 1, 0, 0
+    )
+    # DQT segments (8-bit precision)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes(
+        int(v) for v in ql[_ZZ]
+    )
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0x01) + bytes(
+            int(v) for v in qc[_ZZ]
+        )
+    # SOF0
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack("BBB", ci + 1, 0x11, tab_ids[ci])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    # DHT segments
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = tab_ids[ci]
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # entropy-coded data: 4:4:4 interleave = one block per component/MCU
+    dc_l = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    zzs = [_plane_to_zz(_pad8(p), q) for p, q in zip(planes, qtabs)]
+    writer = _BitWriter()
+    if gray:
+        _encode_blocks(writer, zzs[0], dc_l, ac_l, 0)
+    else:
+        preds = [0, 0, 0]
+        tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+        for i in range(len(zzs[0])):
+            for ci in range(3):
+                dc_t, ac_t = tables[ci]
+                preds[ci] = _encode_blocks(
+                    writer, zzs[ci][i : i + 1], dc_t, ac_t, preds[ci]
+                )
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with stuffing and
+    restart-marker handling."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None  # first non-RST marker seen
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("read past end of entropy-coded segment")
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy-coded data")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated after 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                # a real marker terminates the bit stream here
+                self.marker = nxt
+                self.pos += 1
+                raise ValueError("entropy stream hit marker prematurely")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self, expect: int) -> None:
+        """Byte-align and consume the RSTn marker at a restart boundary."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated at restart marker")
+        if self.data[self.pos] != 0xFF:
+            raise ValueError("missing restart marker")
+        m = self.data[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise ValueError(f"expected RSTn, found FF{m:02x}")
+        if (m & 7) != (expect & 7):
+            raise ValueError("restart marker out of sequence")
+        self.pos += 2
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int, int]:
+    """Header-only scan → (width, height, n_components) from the SOFn
+    segment. Raises ``ValueError`` on anything that is not a JPEG."""
+    if len(data) < 4 or data[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (length,) = struct.unpack_from(">H", data, pos + 2)
+        if length < 2 or pos + 2 + length > len(data):
+            raise ValueError("truncated marker segment")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", data, pos + 4)
+            return w, h, ncomp
+        pos += 2 + length
+    raise ValueError("no SOF marker found")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline/extended-sequential JFIF bytes → uint8 (H, W) grayscale or
+    (H, W, 3) RGB array."""
+    if len(data) < 4 or data[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    restart_interval = 0
+    frame = None  # (h, w, comps) with comps = [(id, hs, vs, tq)]
+    pos = 2
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated before SOS")
+        if data[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS (no image data)")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated marker length")
+        (length,) = struct.unpack_from(">H", data, pos)
+        if length < 2 or pos + length > len(data):
+            raise ValueError("truncated marker segment")
+        body = data[pos + 2 : pos + length]
+        seg_end = pos + length
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                p += 1
+                n = 64 * (2 if pq else 1)
+                if p + n > len(body):
+                    raise ValueError("truncated DQT")
+                raw = (
+                    np.frombuffer(body, ">u2", 64, p)
+                    if pq
+                    else np.frombuffer(body, np.uint8, 64, p)
+                ).astype(np.int64)
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZZ] = raw  # stored in zigzag order
+                if (tab <= 0).any():
+                    raise ValueError("zero quantizer step")
+                qtabs[tq] = tab
+                p += n
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(body):
+                cls, tid = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                if p + 17 + n > len(body):
+                    raise ValueError("truncated DHT")
+                vals = list(body[p + 17 : p + 17 + n])
+                huff[(cls, tid)] = _build_decode(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("short DRI")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported sample precision {prec}")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            if h < 1 or w < 1 or h * w > MAX_DECODE_PIXELS:
+                raise ValueError(f"refusing {w}x{h} raster (hostile header?)")
+            comps = []
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                hv = body[7 + 3 * ci]
+                tq = body[8 + 3 * ci]
+                hs, vs = hv >> 4, hv & 15
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(f"unsupported sampling {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode (SOF{marker - 0xC0}: progressive/"
+                "arithmetic/hierarchical)"
+            )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            break
+        # APPn / COM / anything else: skip
+        pos = seg_end
+
+    h, w, comps = frame
+    ns = body[0]
+    if ns != len(comps):
+        raise ValueError("non-interleaved multi-scan JPEG unsupported")
+    scan_tables = {}
+    for si in range(ns):
+        cid = body[1 + 2 * si]
+        tt = body[2 + 2 * si]
+        scan_tables[cid] = (tt >> 4, tt & 15)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+
+    # per-component quantized zigzag coefficient store
+    comp_blocks: list[np.ndarray] = []
+    comp_bw: list[int] = []
+    for _cid, hs, vs, _tq in comps:
+        bw, bh = mcus_x * hs, mcus_y * vs
+        comp_blocks.append(np.zeros((bh * bw, 64), dtype=np.int64))
+        comp_bw.append(bw)
+
+    reader = _BitReader(data, seg_end)
+    preds = [0] * len(comps)
+    rst_count = 0
+    n_rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and rst_count == restart_interval:
+                reader.sync_restart(n_rst)
+                n_rst = (n_rst + 1) & 7
+                preds = [0] * len(comps)
+                rst_count = 0
+            rst_count += 1
+            for ci, (cid, hs, vs, _tq) in enumerate(comps):
+                td, ta = scan_tables.get(cid, (0, 0))
+                dc_tab = huff.get((0, td))
+                ac_tab = huff.get((1, ta))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("scan references undefined DHT")
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = np.zeros(64, dtype=np.int64)
+                        t = _huff_decode(reader, dc_tab)
+                        if t > 11:
+                            raise ValueError("invalid DC category")
+                        diff = _extend(reader.receive(t), t)
+                        preds[ci] += diff
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        row = my * vs + by
+                        col = mx * hs + bx
+                        comp_blocks[ci][row * comp_bw[ci] + col] = blk
+
+    # vectorized dequantize + IDCT + plane assembly per component
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qtabs:
+            raise ValueError("component references undefined DQT")
+        zz = comp_blocks[ci]
+        nat = np.zeros_like(zz)
+        nat[:, _ZZ] = zz
+        coeffs = (nat * qtabs[tq]).reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("xu,nuv,yv->nxy", _DCT.T, coeffs, _DCT.T)
+        bw = comp_bw[ci]
+        bh = len(zz) // bw
+        plane = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        plane = np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)
+        # replication upsample to full MCU-grid resolution, then crop
+        if hs < hmax:
+            plane = np.repeat(plane, hmax // hs, axis=1)
+        if vs < vmax:
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return planes[0]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def jpeg_to_gray_float(data: bytes) -> np.ndarray:
+    """JPEG bytes → float32 (H, W) luma in [0, 1] — the ``decode_image``
+    contract shape (channel mean for RGB, same rule as PNG)."""
+    img = decode_jpeg(data)
+    if img.ndim == 3:
+        img = img.astype(np.float32).mean(axis=2)
+    return img.astype(np.float32) / 255.0

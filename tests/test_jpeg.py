@@ -1,0 +1,312 @@
+"""JPEG codec: spec known-answers, roundtrips, foreign-encoder shapes
+(4:2:0 subsampling, restart intervals, 16-bit DQT), hostile inputs, fuzz.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_spark.kernels import jpeg as J
+from ocr_spark.kernels.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_dims,
+    jpeg_to_gray_float,
+)
+
+
+def _smooth(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 256, shape).astype(np.float64)
+    for _ in range(2):
+        p = np.pad(x, 1, mode="edge")
+        x = sum(
+            p[i : i + shape[0], j : j + shape[1]]
+            for i in range(3)
+            for j in range(3)
+        ) / 9
+    return x.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Spec known-answers (external checks on tables + bit packing, not
+# encoder/decoder symmetry)
+# ---------------------------------------------------------------------------
+
+
+def test_uniform_midgray_entropy_bits_match_spec():
+    """8x8 uniform v=128 at quality 50: level-shifted block is all zero, so
+    the entropy segment is DC category 0 (luma DC code '00') + EOB (luma AC
+    code '1010'), padded with 1-bits -> the single byte 0x2B. Hand-derived
+    from the T.81 Annex K tables; a transcription error in either table or
+    in the bit packer breaks this."""
+    b = encode_jpeg(np.full((8, 8), 128, dtype=np.uint8), quality=50)
+    sos = b.index(b"\xff\xda")
+    (ln,) = struct.unpack_from(">H", b, sos + 2)
+    entropy = b[sos + 2 + ln : -2]
+    assert entropy == b"\x2b"
+
+
+def test_zigzag_order_spec_values():
+    """Spot-check the generated zigzag against the published sequence."""
+    zz = J._ZZ
+    assert list(zz[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(zz[-8:]) == [53, 60, 61, 54, 47, 55, 62, 63]
+    assert sorted(zz) == list(range(64))
+
+
+def test_quality50_quant_table_is_annex_k():
+    assert (J._scale_quant(J._QUANT_LUMA, 50) == J._QUANT_LUMA).all()
+    assert (J._scale_quant(J._QUANT_LUMA, 100) == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# Roundtrips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 24), (13, 37), (1, 1), (9, 130)])
+def test_gray_roundtrip_psnr(shape):
+    x = _smooth(shape)
+    y = decode_jpeg(encode_jpeg(x, quality=90))
+    assert y.shape == x.shape and y.dtype == np.uint8
+    err = np.abs(y.astype(float) - x.astype(float))
+    assert err.max() <= 12  # q90 on smooth content
+
+
+def test_rgb_roundtrip():
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    rgb[:, :8] = [200, 30, 40]
+    rgb[:, 8:] = [20, 180, 220]
+    y = decode_jpeg(encode_jpeg(rgb, quality=95))
+    assert y.shape == rgb.shape
+    assert np.abs(y.astype(int) - rgb.astype(int)).max() <= 3
+
+
+def test_block_uniform_exact_roundtrip():
+    """Per-8x8-block uniform images survive q90 EXACTLY (DC-only blocks,
+    DC quantizer 3 at q90 -> reconstruction error < 0.5): the closed-form
+    pixel-sum the media_features oracle exploits."""
+    W, H = 40, 16
+    img = np.zeros((H, W), np.uint8)
+    total = 0
+    b = 0
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            v = (123 * 7 + b * 13) % 251
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+            total += 64 * v
+            b += 1
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert (dec == img).all()
+    assert int(dec.sum()) == total
+
+
+def test_gray_float_contract():
+    g = jpeg_to_gray_float(encode_jpeg(np.full((8, 16), 64, np.uint8)))
+    assert g.dtype == np.float32 and g.shape == (8, 16)
+    assert 0.0 <= g.min() and g.max() <= 1.0
+    rgbf = jpeg_to_gray_float(
+        encode_jpeg(np.full((8, 8, 3), 200, np.uint8), quality=95)
+    )
+    assert rgbf.shape == (8, 8)
+
+
+def test_jpeg_dims_header_only():
+    assert jpeg_dims(encode_jpeg(np.zeros((24, 56), np.uint8))) == (56, 24, 1)
+    assert jpeg_dims(
+        encode_jpeg(np.zeros((10, 11, 3), np.uint8))
+    ) == (11, 10, 3)
+
+
+# ---------------------------------------------------------------------------
+# Foreign-encoder shapes the in-repo encoder never emits
+# ---------------------------------------------------------------------------
+
+
+def _headers_gray(h, w, dri=0, dqt16=False):
+    ql = J._scale_quant(J._QUANT_LUMA, 90)
+    out = bytearray(b"\xff\xd8")
+    if dqt16:
+        body = struct.pack(">B", 0x10) + b"".join(
+            struct.pack(">H", int(v)) for v in ql[J._ZZ]
+        )
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+    else:
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+            int(v) for v in ql[J._ZZ]
+        )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
+        [1, 0x11, 0]
+    )
+
+    def dht(cls, tid, bits, vals):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    out += dht(1, 0, J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    return out, ql
+
+
+def test_restart_markers_decode():
+    """Grayscale 8x48 (6 MCUs) with DRI=2: entropy data split by RST0..2,
+    DC predictors reset at each boundary — a shape real encoders emit for
+    error resilience and our encoder never does."""
+    x = _smooth((8, 48), seed=3)
+    out, ql = _headers_gray(8, 48, dri=2)
+    dc = J._build_codes(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    ac = J._build_codes(J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    zz = J._plane_to_zz(x.astype(np.float64) - 128.0, ql)
+    for group in range(3):
+        writer = J._BitWriter()
+        J._encode_blocks(writer, zz[group * 2 : group * 2 + 2], dc, ac, 0)
+        out += writer.flush()
+        if group < 2:
+            out += bytes([0xFF, 0xD0 + group])
+    out += b"\xff\xd9"
+    y = decode_jpeg(bytes(out))
+    assert y.shape == (8, 48)
+    assert np.abs(y.astype(float) - x.astype(float)).max() <= 12
+
+
+def test_16bit_dqt_decodes():
+    x = _smooth((8, 16), seed=5)
+    out, ql = _headers_gray(8, 16, dqt16=True)
+    dc = J._build_codes(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    ac = J._build_codes(J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    writer = J._BitWriter()
+    J._encode_blocks(
+        writer, J._plane_to_zz(x.astype(np.float64) - 128.0, ql), dc, ac, 0
+    )
+    out += writer.flush() + b"\xff\xd9"
+    y = decode_jpeg(bytes(out))
+    assert np.abs(y.astype(float) - x.astype(float)).max() <= 12
+
+
+def test_420_subsampled_decodes():
+    """Hand-built 4:2:0 YCbCr 16x16: Y at full resolution (4 blocks/MCU),
+    Cb/Cr at quarter resolution (1 block each) — the dominant shape in
+    real web JPEGs. Constant chroma makes replication upsampling exact."""
+    y_val, cb_val, cr_val = 140, 90, 170
+    ql = J._scale_quant(J._QUANT_LUMA, 90)
+    qc = J._scale_quant(J._QUANT_CHROMA, 90)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(v) for v in ql[J._ZZ])
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 1) + bytes(int(v) for v in qc[J._ZZ])
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, bits, vals):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    out += dht(1, 0, J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    out += dht(0, 1, J._DC_CHROMA_BITS, J._DC_CHROMA_VALS)
+    out += dht(1, 1, J._AC_CHROMA_BITS, J._AC_CHROMA_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_l = J._build_codes(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    ac_l = J._build_codes(J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    dc_c = J._build_codes(J._DC_CHROMA_BITS, J._DC_CHROMA_VALS)
+    ac_c = J._build_codes(J._AC_CHROMA_BITS, J._AC_CHROMA_VALS)
+    writer = J._BitWriter()
+    yzz = J._plane_to_zz(np.full((16, 16), y_val, np.float64) - 128.0, ql)
+    pred = 0
+    for blk in yzz:  # one MCU: 4 luma blocks in raster order
+        pred = J._encode_blocks(writer, blk[None, :], dc_l, ac_l, pred)
+    for v in (cb_val, cr_val):
+        czz = J._plane_to_zz(np.full((8, 8), v, np.float64) - 128.0, qc)
+        J._encode_blocks(writer, czz, dc_c, ac_c, 0)
+    out += writer.flush() + b"\xff\xd9"
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (16, 16, 3)
+    # expected RGB from the JFIF YCbCr transform (chroma constant -> the
+    # replication upsample introduces no error; quant error ±2)
+    r = y_val + 1.402 * (cr_val - 128)
+    g = y_val - 0.344136 * (cb_val - 128) - 0.714136 * (cr_val - 128)
+    b = y_val + 1.772 * (cb_val - 128)
+    want = np.round([r, g, b])
+    assert np.abs(img.astype(float) - want).max() <= 3
+
+
+# ---------------------------------------------------------------------------
+# Hostile / malformed inputs
+# ---------------------------------------------------------------------------
+
+
+def test_hostile_dims_rejected_before_allocation():
+    b = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof = bytes(b).index(b"\xff\xc0")
+    struct.pack_into(">HH", b, sof + 5, 65535, 65535)  # 4.3 GP declared
+    with pytest.raises(ValueError, match="refusing|hostile"):
+        decode_jpeg(bytes(b))
+
+
+def test_progressive_rejected():
+    b = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof = bytes(b).index(b"\xff\xc0")
+    b[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive|unsupported"):
+        decode_jpeg(bytes(b))
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:2],
+        lambda b: b"\x00\x00" + b[2:],
+        lambda b: b[: len(b) // 2],
+        lambda b: b.replace(b"\xff\xda", b"\xff\xd9", 1),
+        lambda b: b[:-10],
+    ],
+)
+def test_malformed_raises(mutate):
+    src = encode_jpeg(_smooth((16, 16)))
+    with pytest.raises(ValueError):
+        decode_jpeg(mutate(src))
+
+
+def test_fuzz_random_bytes():
+    rng = np.random.default_rng(11)
+    for i in range(200):
+        blob = bytes(rng.integers(0, 256, rng.integers(0, 300)).astype(np.uint8))
+        if rng.integers(0, 2):
+            blob = b"\xff\xd8" + blob
+        try:
+            decode_jpeg(blob)
+        except ValueError:
+            pass  # the only allowed failure mode
+
+
+def test_fuzz_single_byte_corruption():
+    src = encode_jpeg(_smooth((16, 16), seed=9), quality=85)
+    rng = np.random.default_rng(13)
+    for _ in range(120):
+        pos = int(rng.integers(0, len(src)))
+        b = bytearray(src)
+        b[pos] = int(rng.integers(0, 256))
+        try:
+            out = decode_jpeg(bytes(b))
+            assert isinstance(out, np.ndarray)  # decoded despite damage: ok
+        except ValueError:
+            pass
+
+
+def test_truncation_sweep():
+    src = encode_jpeg(_smooth((8, 24), seed=2))
+    for cut in range(2, len(src), 7):
+        try:
+            decode_jpeg(src[:cut])
+        except ValueError:
+            pass
