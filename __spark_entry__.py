@@ -522,16 +522,27 @@ def q_ocr_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over REAL container bytes: each doc's text
-    bytes become the pixel rows of an 8×min(n,384) grayscale image,
-    encoded as an actual PNG (``kernels.png``, stored-deflate level 0 so
-    the byte size has a closed form), then decoded back by the feature
-    extractor via signature sniff + IHDR parse + inflate + unfilter. The
-    oracle checks the PNG byte size (76 + 8·W exactly) and that the
-    DECODED dimensions equal the constructed ones — dims that only exist
-    inside the binary payload, so a fake decode cannot fake them."""
+    """Multimodal plumbing over REAL container bytes, both image codecs:
+
+    - EVEN doc_ids: the doc's text bytes become the pixel rows of an
+      8×min(n,384) grayscale image, encoded as an actual PNG
+      (``kernels.png``, stored-deflate level 0 so the byte size has the
+      closed form 76 + 8·W), decoded back via signature sniff + IHDR
+      parse + inflate + unfilter.
+    - ODD doc_ids: a per-8×8-block-uniform grayscale image (W = 8·(1 +
+      doc_id % 5), H = 16, block b value (doc_id·7 + 13·b) % 251) encoded
+      as an actual baseline JPEG (``kernels.jpeg``, quality 90), decoded
+      back via marker parse + Huffman + dequantize + IDCT. DC-only blocks
+      at q90 reconstruct EXACTLY, so the oracle predicts the decoded
+      pixel-sum checksum Σ 64·v_b in closed form — a value that only
+      exists after a full real decode.
+
+    The oracle checks the sniffed container fmt, the PNG byte size, the
+    decoded dimensions (which only exist inside the payload), and the
+    JPEG pixel sum."""
     import pandas as pd
 
+    from ocr_spark.kernels.jpeg import encode_jpeg
     from ocr_spark.kernels.png import encode_png
     from ocr_spark.operators.multimodal import extract_media_features
 
@@ -541,14 +552,29 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, urls, payloads = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                b = str(text).encode("utf-8")
-                w = min(max(len(b), 1), 384)
-                pix = np.tile(
-                    np.frombuffer(b or b"\x00", dtype=np.uint8), 8 * w // max(len(b), 1) + 8
-                )[: 8 * w].reshape(8, w)
-                ids.append(int(doc_id))
-                urls.append(f"mem://doc/{int(doc_id)}")
-                payloads.append(encode_png(pix, level=0))
+                doc_id = int(doc_id)
+                if doc_id % 2 == 0:
+                    b = str(text).encode("utf-8")
+                    w = min(max(len(b), 1), 384)
+                    pix = np.tile(
+                        np.frombuffer(b or b"\x00", dtype=np.uint8),
+                        8 * w // max(len(b), 1) + 8,
+                    )[: 8 * w].reshape(8, w)
+                    payload = encode_png(pix, level=0)
+                else:
+                    w = 8 * (1 + doc_id % 5)
+                    blocks = np.arange(2 * (1 + doc_id % 5), dtype=np.int64)
+                    vals = (doc_id * 7 + 13 * blocks) % 251
+                    pix = (
+                        vals.reshape(2, -1)
+                        .repeat(8, axis=0)
+                        .repeat(8, axis=1)
+                        .astype(np.uint8)
+                    )
+                    payload = encode_jpeg(pix, quality=90)
+                ids.append(doc_id)
+                urls.append(f"mem://doc/{doc_id}")
+                payloads.append(payload)
             yield pd.DataFrame(
                 {"media_id": ids, "url": urls, "payload": payloads}
             )
@@ -570,12 +596,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(16).cast("int").alias("height"),
             F.lit(1).cast("int").alias("n_frames"),
             F.lit(0).cast("int").alias("sample_rate"),
-            F.lit("image/png").alias("content_type"),
+            F.lit("image/*").alias("content_type"),
         ).alias("meta"),
     )
     feats = extract_media_features(media)
     return feats.select(
-        "media_id", "kind", "payload_bytes", "decoded_w", "decoded_h"
+        "media_id",
+        "kind",
+        "fmt",
+        # closed-form-checkable per format: PNG byte size, JPEG pixel sum
+        F.when(F.col("fmt") == "png", F.col("payload_bytes")).alias(
+            "payload_bytes"
+        ),
+        "decoded_w",
+        "decoded_h",
+        F.when(F.col("fmt") == "jpeg", F.col("pixel_sum")).alias("pixel_sum"),
     )
 
 
@@ -1423,15 +1458,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "media_features": """
-            -- W = min(n_text_bytes, 384); the PNG is 8 rows of W pixels,
+            -- even docs: PNG, W = min(n_text_bytes, 384), 8 rows of W px,
             -- filter-0 scanlines, stored-deflate: 8+25+12+12 fixed chunk
-            -- overhead + (2 + 5 + 8*(W+1) + 4) zlib framing = 76 + 8*W
+            -- overhead + (2 + 5 + 8*(W+1) + 4) zlib framing = 76 + 8*W.
+            -- odd docs: baseline JPEG, W = 8*(1+doc_id%5), H = 16,
+            -- per-block-uniform values v_b = (doc_id*7+13*b) % 251 which
+            -- are DC-exact at q90, so the decoded pixel sum is 64*sum(v_b)
             SELECT doc_id AS media_id, 'image' AS kind,
-                   CAST(76 + 8 * least(greatest(octet_length(encode(text)), 1),
-                                       384) AS BIGINT) AS payload_bytes,
-                   CAST(least(greatest(octet_length(encode(text)), 1), 384)
-                        AS INTEGER) AS decoded_w,
-                   CAST(8 AS INTEGER) AS decoded_h
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                     CAST(76 + 8 * least(greatest(octet_length(encode(text)), 1),
+                                         384) AS BIGINT) END AS payload_bytes,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN
+                     least(greatest(octet_length(encode(text)), 1), 384)
+                     ELSE 8 * (1 + doc_id % 5) END AS INTEGER) AS decoded_w,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END
+                        AS INTEGER) AS decoded_h,
+                   CASE WHEN doc_id % 2 = 1 THEN
+                     CAST(64 * list_sum(list_transform(
+                         range(2 * (1 + doc_id % 5)),
+                         b -> (doc_id * 7 + 13 * b) % 251)) AS BIGINT)
+                   END AS pixel_sum
             FROM documents
         """,
         "dedup_exact": """

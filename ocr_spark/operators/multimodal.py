@@ -2,13 +2,16 @@
 
 Images/audio/video ride as opaque ``binary`` columns with a typed metadata
 struct. The Spark-side plumbing — schema, Arrow batching, partition
-discipline — is real and tested; the codec step itself is STUBBED (the
-image/audio libraries are not in this container): ``decode_image`` produces
-a deterministic fake pixel tensor derived from the payload bytes, and the
-seam to swap in a real decoder is a single function. The OCR branch
-(``operators/extract_ocr.py``) consumes the decoded strips, so the full
-binary → decode → normalize → recognize chain is exercised end-to-end with
-the fake codec.
+discipline — is real and tested, and so are the codecs for the four
+container formats the engine carries natively (all pure-stdlib, all
+signature-sniffed): PNG + baseline JPEG images (``kernels.png`` /
+``kernels.jpeg``), RIFF/PCM WAV audio (``kernels.wav``), uncompressed
+AVI video (``kernels.avi``). Only containers outside that family (GIF,
+WebP, mp3/ogg, mp4 — codecs genuinely absent here) fall back to a
+deterministic sha256-seeded fake, honestly labeled ``fmt='fake'``. The
+OCR branch (``operators/extract_ocr.py``) consumes the decoded strips, so
+the full binary → decode → normalize → recognize chain runs on real
+container parses end-to-end.
 
 Scale notes: payload columns are wide — every operator here projects the
 binary column away as soon as features are extracted, so downstream stages
@@ -54,13 +57,18 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
+        # container format by signature sniff: 'png' | 'jpeg' | 'fake'
+        T.StructField("fmt", T.StringType()),
         T.StructField("payload_bytes", T.LongType()),
         T.StructField("payload_crc", T.LongType()),
-        # dimensions of the DECODED raster — for PNG payloads these come
-        # from the parsed IHDR, proving a real container decode happened
-        # (for stub-decoded payloads they echo the advisory meta)
+        # dimensions of the DECODED raster — for PNG/JPEG payloads these
+        # come from the parsed IHDR/SOF0, proving a real container decode
+        # happened (for stub-decoded payloads they echo the advisory meta)
         T.StructField("decoded_w", T.IntegerType()),
         T.StructField("decoded_h", T.IntegerType()),
+        # sum of the decoded 8-bit raster — a full-decode checksum (for
+        # JPEG the oracle predicts it closed-form on DC-exact fixtures)
+        T.StructField("pixel_sum", T.LongType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
@@ -68,24 +76,41 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Image codec seam: PNG payloads decode FOR REAL; other containers
-    fall back to the deterministic fake.
-
-    PNG bytes (signature-sniffed) go through the engine's own pure-stdlib
-    RFC-2083 decoder (``kernels.png`` — the analog of the reference's
-    ``cv2.imread`` scan, ``/root/reference/test_img.py:38-43``); color
-    images are reduced to luma by channel mean. The declared meta
-    width/height are advisory for PNG — the parsed IHDR dimensions win
-    (real metadata can lie; the bytes cannot). Non-PNG payloads (JPEG etc.
-    — codecs not available in this container) keep the sha256-seeded
-    deterministic fake, honestly labeled: the (H, W) float32 [0,1]
-    contract is identical either way.
-    """
-    from ocr_spark.kernels.png import PNG_MAGIC, png_to_gray_float
+def sniff_image_fmt(payload: bytes) -> str:
+    """Container format by magic bytes: 'png' | 'jpeg' | 'fake'."""
+    from ocr_spark.kernels.jpeg import JPEG_MAGIC
+    from ocr_spark.kernels.png import PNG_MAGIC
 
     if payload.startswith(PNG_MAGIC):
+        return "png"
+    if payload.startswith(JPEG_MAGIC):
+        return "jpeg"
+    return "fake"
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Image codec seam: PNG and baseline JPEG payloads decode FOR REAL;
+    other containers fall back to the deterministic fake.
+
+    Signature-sniffed bytes go through the engine's own pure-stdlib
+    decoders (``kernels.png`` RFC-2083, ``kernels.jpeg`` T.81 baseline —
+    the analog of the reference's ``cv2.imread`` scan,
+    ``/root/reference/test_img.py:38-43``, whose flagship input IS a
+    JPEG); color images are reduced to luma by channel mean. The declared
+    meta width/height are advisory — the parsed IHDR/SOF0 dimensions win
+    (real metadata can lie; the bytes cannot). Payloads outside the two
+    container families (GIF/WebP — codecs not available in this
+    container) keep the sha256-seeded deterministic fake, honestly
+    labeled: the (H, W) float32 [0,1] contract is identical either way.
+    """
+    from ocr_spark.kernels.jpeg import jpeg_to_gray_float
+    from ocr_spark.kernels.png import png_to_gray_float
+
+    fmt = sniff_image_fmt(payload)
+    if fmt == "png":
         return png_to_gray_float(payload)
+    if fmt == "jpeg":
+        return jpeg_to_gray_float(payload)
     digest = hashlib.sha256(payload).digest()
     seed = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
     n = width * height
@@ -114,7 +139,8 @@ def _pool_bands(img: np.ndarray) -> np.ndarray:
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        ids, kinds, sizes, crcs, dws, dhs, feats = [], [], [], [], [], [], []
+        ids, kinds, fmts, sizes, crcs = [], [], [], [], []
+        dws, dhs, psums, feats = [], [], [], []
         for mid, kind, payload, meta in zip(
             pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
         ):
@@ -132,20 +158,26 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             feat = _pool_bands(img)
             ids.append(int(mid))
             kinds.append(kind)
+            fmts.append(sniff_image_fmt(payload))
             sizes.append(len(payload))
             crcs.append(zlib.crc32(payload))
             dhs.append(int(img.shape[0]))
             dws.append(int(img.shape[1]))
+            # decode checksum over the 8-bit raster; the decoded floats
+            # are exact v/255 multiples so rint recovers the byte values
+            psums.append(int(np.rint(img * 255.0).astype(np.int64).sum()))
             feats.append(feat.tolist())
         if ids:  # empty frames with array columns break Arrow conversion
             yield pd.DataFrame(
                 {
                     "media_id": ids,
                     "kind": kinds,
+                    "fmt": fmts,
                     "payload_bytes": sizes,
                     "payload_crc": crcs,
                     "decoded_w": dws,
                     "decoded_h": dhs,
+                    "pixel_sum": psums,
                     "feature": feats,
                 }
             )
@@ -377,12 +409,13 @@ def sample_audio_windows(
 
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests — every kind carries a
-    REAL container: IMAGE rows are PNGs (16×16 grayscale, sha256-derived
-    pixels, ``kernels.png``), AUDIO rows are 16-bit PCM WAVs (one 16 kHz
-    second, ``kernels.wav``), VIDEO rows are uncompressed 16-frame AVIs
-    (``kernels.avi``); all three decode paths exercise actual container
-    parses end-to-end."""
+    REAL container: IMAGE rows alternate PNG and baseline JPEG (16×16
+    grayscale, sha256-derived pixels, ``kernels.png``/``kernels.jpeg``),
+    AUDIO rows are 16-bit PCM WAVs (one 16 kHz second, ``kernels.wav``),
+    VIDEO rows are uncompressed 16-frame AVIs (``kernels.avi``); all four
+    decode paths exercise actual container parses end-to-end."""
     from ocr_spark.kernels.avi import encode_avi
+    from ocr_spark.kernels.jpeg import encode_jpeg
     from ocr_spark.kernels.png import encode_png
     from ocr_spark.kernels.wav import encode_wav
 
@@ -392,7 +425,10 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
             pix = np.frombuffer(seed, dtype=np.uint8)[: 16 * 16].reshape(16, 16)
-            payload = encode_png(pix)
+            payload = (
+                encode_png(pix) if (i // 3) % 2 == 0
+                else encode_jpeg(pix, quality=90)
+            )
         elif kind == "audio":
             base = np.frombuffer(seed, dtype=np.uint8).astype(np.float32)
             wave = (np.tile(base, 16000 // len(base) + 1)[:16000] / 127.5) - 1.0

@@ -60,3 +60,20 @@ def test_sample_audio_windows(spark):
     assert {(r.media_id, r.window_no, r.rms) for r in rows} == {
         (r.media_id, r.window_no, r.rms) for r in again
     }
+
+
+def test_feature_fmt_sniff_and_jpeg_decode(spark):
+    """Image rows alternate PNG and JPEG containers; the feature extractor
+    reports the sniffed fmt and decodes BOTH for real (dims come from the
+    container, pixel_sum from the decoded raster)."""
+    m = synth_media(spark, 24)
+    rows = {r.media_id: r for r in extract_media_features(m).collect()}
+    img_ids = [i for i in range(24) if i % 3 == 0]
+    fmts = {i: rows[i].fmt for i in img_ids}
+    assert set(fmts.values()) == {"png", "jpeg"}
+    for i in img_ids:
+        r = rows[i]
+        assert (r.decoded_w, r.decoded_h) == (16, 16)
+        assert r.pixel_sum is not None and r.pixel_sum > 0
+    # audio/video payloads are RIFF → not an image container → fake label
+    assert rows[1].fmt == "fake" and rows[2].fmt == "fake"
