@@ -142,9 +142,12 @@ def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_full_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused pipeline over NON-identity imagery: embedded lines are
-    bitmap-font renders, 2×-upscaled with seeded noise, decoded by the NCC
-    recognizer — the production path with nothing bit-identical between
-    renderer and recognizer. Same closed-form oracle as extract_full."""
+    bitmap-font renders, 2×-upscaled with seeded noise, shipped in MIXED
+    real containers (per-line PNG or baseline JPEG — the lossy branch
+    adds quantization artifacts on top of the noise) and decoded by the
+    NCC recognizer — the production path with nothing bit-identical
+    between renderer and recognizer, container-agnostic. Same closed-form
+    oracle as extract_full."""
     from ocr_spark.operators.pipeline import extract_full
     from ocr_spark.sources.pages import (
         pages_with_noisy_font_images_from_documents,

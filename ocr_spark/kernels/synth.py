@@ -167,6 +167,7 @@ def wrap_html_with_font_images(
     seed_base: int,
     scale: int = 2,
     sigma: float = 0.1,
+    container: str = "mixed",
 ) -> bytes:
     """wrap_html + embedded text-line images rendered in the 5×7 bitmap
     FONT atlas, bilinear-upscaled ``scale``× and perturbed with seeded
@@ -174,12 +175,18 @@ def wrap_html_with_font_images(
     anti-aliased noisy glyph imagery, never a bit pattern the recognizer
     has seen. The detect stage resamples it back through
     ``normalize_strip`` (announced via ``data-height``) and recognition
-    must go through normalized cross-correlation (``kernels.font``)."""
+    must go through normalized cross-correlation (``kernels.font``).
+
+    ``container`` picks the image format: "png", "jpeg", or "mixed"
+    (per-line (seed_base + idx) % 2 — web crawls carry both, and a
+    container-agnostic pipeline must prove it on lossy JPEG bytes where
+    nothing round-trips bit-identically)."""
     import base64
 
     import numpy as np
 
     from ocr_spark.kernels.font import GLYPH_H, distort_strip, render_line_font
+    from ocr_spark.kernels.jpeg import encode_jpeg
     from ocr_spark.kernels.png import encode_png
 
     doc = wrap_html(main_text, url).decode("utf-8")
@@ -189,11 +196,21 @@ def wrap_html_with_font_images(
         noisy = distort_strip(
             strip[:, :width], float(scale), sigma, seed_base * 31 + idx
         )
-        # REAL container bytes: the noisy strip ships as an actual PNG
-        # (kernels.png), so the extraction pipeline exercises a genuine
-        # decode — signature sniff, inflate, unfilter — not a raw memcpy
+        # REAL container bytes: the noisy strip ships as an actual PNG or
+        # baseline JPEG, so the extraction pipeline exercises a genuine
+        # decode (signature sniff + full container parse), not a memcpy.
+        # JPEG quality 95: lossy on top of the seeded noise — recognition
+        # has to survive quantization artifacts, not just Gaussian noise.
+        raster = (noisy * 255).astype(np.uint8)
+        # zero-dim rasters (empty line slots) ship as PNG regardless:
+        # JPEG has no zero-width images (SOF X=0 is the unsupported
+        # deferred-DNL case), while PNG legitimately encodes them
+        use_jpeg = raster.size > 0 and (
+            container == "jpeg"
+            or (container == "mixed" and (seed_base + idx) % 2 == 1)
+        )
         payload = base64.b64encode(
-            encode_png((noisy * 255).astype(np.uint8))
+            encode_jpeg(raster, quality=95) if use_jpeg else encode_png(raster)
         ).decode("ascii")
         imgs.append(
             f'<img class="embedded-line" data-width="{width * scale}" '

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.config import BLOCK_SEPARATOR, LINE_HEIGHT, MAX_LINE_WIDTH
+from ocr_spark.kernels.jpeg import JPEG_MAGIC, jpeg_to_gray_float
 from ocr_spark.kernels.png import PNG_MAGIC, png_to_gray_float
 
 # embedded-line detector: the stand-in for the reference's detection head
@@ -70,15 +71,22 @@ def _lines_of_doc(html_text: str):
             payload = base64.b64decode(m.group(3))
         except Exception:
             continue  # bad padding/length: skip the image, never the task
+        img = None
         if payload.startswith(PNG_MAGIC):
-            # real container: dimensions come from the IHDR, not the
-            # attributes (bytes cannot lie; attributes can). Shared
-            # normalization with the media seam (png_to_gray_float) so the
-            # two decode paths cannot drift.
             try:
                 img = png_to_gray_float(payload)
             except (ValueError, zlib.error):
                 continue  # corrupt PNG: skip the image, never the task
+        elif payload.startswith(JPEG_MAGIC):
+            try:
+                img = jpeg_to_gray_float(payload)
+            except ValueError:
+                continue  # corrupt JPEG: skip the image, never the task
+        if img is not None:
+            # real container (PNG or baseline JPEG): dimensions come from
+            # the IHDR/SOF0, not the attributes (bytes cannot lie;
+            # attributes can). Shared normalization with the media seam
+            # (png/jpeg_to_gray_float) so the decode paths cannot drift.
             ph, pw = img.shape
             if ph == LINE_HEIGHT:
                 # already strip-height: use the REAL decoded width — an
@@ -106,11 +114,10 @@ def _lines_of_doc(html_text: str):
                 )
                 yield i, strip, out_w
             continue
-        else:
-            raw = (
-                np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-                / 255.0
-            )
+        raw = (
+            np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+            / 255.0
+        )
         if raw.size == 0:
             # uniform empty-payload rule for BOTH geometry branches (and
             # both containers): no pixel data with a declared nonzero

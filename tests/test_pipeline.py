@@ -153,3 +153,41 @@ def test_eight_tall_narrow_png_strip_is_kept():
     from ocr_spark.kernels.font import recognize_lines_font
 
     assert recognize_lines_font(got_strip[None], [got_w]) == ["Hi7"]
+
+
+def test_mixed_containers_both_decode(spark):
+    """The noisy fixture ships PNG and JPEG strips on the same corpus
+    (per-line (seed_base+idx)%2); both container branches must actually
+    occur and decode exactly — a silent PNG-only fixture would void the
+    container-agnostic claim."""
+    import base64
+    import datetime
+    import re
+
+    from ocr_spark.kernels.jpeg import JPEG_MAGIC
+    from ocr_spark.kernels.png import PNG_MAGIC
+    from ocr_spark.kernels.synth import wrap_html_with_font_images
+    from ocr_spark.sources.pages import PAGES_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = []
+    magics = set()
+    for seed in range(4):
+        html = wrap_html_with_font_images(
+            "mixed container page", f"u:{seed}", ["abc123", f"line{seed}"],
+            seed_base=seed,
+        )
+        for m in re.finditer(r'data-strip="([A-Za-z0-9+/=]*)"', html.decode()):
+            payload = base64.b64decode(m.group(1))
+            if payload.startswith(PNG_MAGIC):
+                magics.add("png")
+            elif payload.startswith(JPEG_MAGIC):
+                magics.add("jpeg")
+        rows.append((f"u:{seed}", ts, bytearray(html), "t", "en"))
+    assert magics == {"png", "jpeg"}
+
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = {r.url: r.extracted_text for r in
+           extract_full(pages, recognizer="font").collect()}
+    for seed in range(4):
+        assert out[f"u:{seed}"].endswith(f"abc123\n\nline{seed}")
