@@ -43,20 +43,43 @@ def _trigrams_expr(col: str = "text") -> str:
     )
 
 
-def lm_train_counts(docs: DataFrame, max_model_size: int = MAX_MODEL_SIZE) -> DataFrame:
+def lm_train_counts(
+    docs: DataFrame,
+    max_model_size: int = MAX_MODEL_SIZE,
+    n_salts: int = 16,
+) -> DataFrame:
     """Corpus trigram counts, capped to the top ``max_model_size`` by
-    (count desc, trigram asc). Returns (trigram, c)."""
+    (count desc, trigram asc). Returns (trigram, c).
+
+    The cap is the salted two-level EXACT top-k (the spelling proven in
+    ``curation.stratified_sample``), NOT a global
+    ``row_number() OVER (ORDER BY ...)``: a single global window funnels
+    every distinct trigram through ONE task, which is exactly wrong in
+    the case the cap exists for — a multilingual/hostile 100-TB corpus
+    with hundreds of millions of distinct char trigrams (CJK, binary
+    junk). Level 1 ranks within ``n_salts`` hash partitions of the
+    trigram space (each sorts ~1/n_salts of the distinct table); level 2
+    ranks only the ≤ k·n_salts survivors — bounded by PARAMETERS, not by
+    the corpus. Exact by construction: every global top-k row is
+    necessarily in its own salt's local top-k (same total order both
+    levels, ties broken by trigram)."""
     grams = docs.select(
         F.explode(F.expr(_trigrams_expr())).alias("trigram")
     )
     counts = grams.groupBy("trigram").agg(F.count("*").alias("c"))
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("c").desc(), F.col("trigram").asc())
-    # global rank over the (small) distinct-trigram table — NOT the corpus
+    order = [F.col("c").desc(), F.col("trigram").asc()]
+    salted = Window.partitionBy(
+        F.pmod(F.xxhash64("trigram"), F.lit(n_salts)).alias("salt")
+    ).orderBy(*order)
+    local = counts.withColumn("r", F.row_number().over(salted)).filter(
+        F.col("r") <= max_model_size
+    )
+    final = Window.orderBy(*order)
     return (
-        counts.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= max_model_size)
+        local.withColumn("r2", F.row_number().over(final))
+        .filter(F.col("r2") <= max_model_size)
         .select("trigram", "c")
     )
 

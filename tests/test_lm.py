@@ -62,3 +62,51 @@ def test_contamination_flags_planted_overlap(spark):
     )
     out = {r.doc_id: r.n_hits for r in contamination_check(docs, bench).collect()}
     assert out == {1: 1}
+
+
+def test_lm_cap_salted_topk_exact_and_plan(spark):
+    """The model cap must (a) equal the naive global-window top-k exactly
+    on a corpus with MANY distinct trigrams forced through a small cap,
+    and (b) never sort the unbounded distinct-trigram table in one task:
+    the plan's single-partition sort is fed by the salt-partitioned
+    local top-k, so the hash-partitioned window exchange appears BEFORE
+    the SinglePartition exchange."""
+    from pyspark.sql import Window
+
+    from ocr_spark.operators.lm import _trigrams_expr, lm_train_counts
+    from ocr_spark.plans.inspect import explain_str
+
+    # 4000 docs of hash junk → tens of thousands of distinct trigrams
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.concat(F.lit("junk-"), F.col("id").cast("string")), 256)
+        .alias("text"),
+    )
+    cap = 500
+    got = lm_train_counts(docs, max_model_size=cap)
+
+    # the naive global spelling as the oracle
+    grams = docs.select(F.explode(F.expr(_trigrams_expr())).alias("trigram"))
+    counts = grams.groupBy("trigram").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("trigram").asc())
+    want = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= cap)
+        .select("trigram", "c")
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert len(got_rows) == cap
+    assert got_rows == want_rows
+
+    plan = explain_str(got, "simple")
+    hash_pos = plan.find("Exchange hashpartitioning(pmod(xxhash64(trigram")
+    assert hash_pos != -1, plan  # level 1: salted window exists
+    # level 2 must be bounded: either Catalyst's distributed top-k
+    # (TakeOrderedAndProject — per-partition partial take, no global
+    # funnel at all) or a SinglePartition exchange fed by the salt-
+    # filtered survivors (i.e., AFTER the hash exchange)
+    single_pos = plan.find("Exchange SinglePartition")
+    assert "TakeOrderedAndProject" in plan or (
+        single_pos != -1 and hash_pos < single_pos
+    ), plan
