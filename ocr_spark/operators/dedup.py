@@ -547,7 +547,12 @@ def remove_boilerplate_chunks(
         exploded.unpersist()
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 50,
+    materialize: str = "local",
+    table_path: str | None = None,
+) -> DataFrame:
     """Connected components over a duplicate-pair graph → per-doc cluster
     representative (the component's min doc_id).
 
@@ -562,31 +567,74 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     id. Rounds needed = component diameter (web dup clusters are shallow;
     ``max_iter`` bounds the pathological chain). Per round: one
     edges⋈labels equi-join + one groupBy(min) — all partial-aggregated
-    slim (id, id) rows; lineage is cut with a localCheckpoint per round so
-    the plan does not grow with iterations. Deterministic.
+    slim (id, id) rows; lineage is cut per round so the plan does not
+    grow with iterations. Deterministic.
+
+    Durability (the same two modes as ``_materialize_pairs``):
+
+    - ``materialize="local"``: per-round ``localCheckpoint`` — cheapest,
+      right for interactive jobs, but the blocks live in executor storage
+      and an executor loss mid-run restarts the whole iteration.
+    - ``materialize="table"``: edges and every round's labels are written
+      to ``table_path`` as parquet and read back — each round is a
+      durable artifact, and a NEW invocation with the same ``table_path``
+      RESUMES from the last completed round (a killed multi-hour corpus
+      job re-does at most one round, not the whole closure). A tiny
+      manifest parquet records the last completed round.
 
     Returns (doc_id, cluster_rep) for every vertex that appears in
     ``pairs``. Raises if the fixpoint is not reached within max_iter.
     """
-    edges = (
-        pairs.select(
-            F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
-        )
-        .unionByName(
-            pairs.select(
-                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+    spark = pairs.sparkSession
+
+    def persist(df: DataFrame, name: str) -> DataFrame:
+        if materialize == "table":
+            path = f"{table_path}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        if materialize != "local":
+            raise ValueError(f"unknown materialize mode {materialize!r}")
+        return df.localCheckpoint(eager=True)
+
+    start_round = 0
+    labels = None
+    edges = None
+    if materialize == "table":
+        if not table_path:
+            raise ValueError("materialize='table' requires table_path")
+        try:  # resume from a prior run's last completed round
+            manifest = spark.read.parquet(f"{table_path}/manifest").collect()
+            start_round = int(manifest[0]["next_round"])
+            edges = spark.read.parquet(f"{table_path}/edges")
+            labels = spark.read.parquet(
+                f"{table_path}/labels_{start_round - 1:05d}"
             )
+        except Exception:  # noqa: BLE001 — no artifact yet: fresh start
+            start_round = 0
+
+    if edges is None:
+        edges = persist(
+            pairs.select(
+                F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+            )
+            .unionByName(
+                pairs.select(
+                    F.col("doc_id_b").alias("src"),
+                    F.col("doc_id_a").alias("dst"),
+                )
+            )
+            .distinct(),
+            "edges",
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
+    if labels is None:
+        labels = persist(
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id")),
+            "labels_init",
+        )
+
+    for rnd in range(start_round, max_iter):
         prop = (
             edges.join(
                 labels.withColumnRenamed("doc_id", "src"), "src"
@@ -594,23 +642,27 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new = (
-            labels.join(prop, "doc_id", "left")
-            .select(
+        # carry the per-round delta flag INTO the artifact so the
+        # convergence probe is a metadata-cheap filter over the parquet
+        # just written, not a second join
+        new = persist(
+            labels.join(prop, "doc_id", "left").select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+                (
+                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                ).alias("changed"),
+            ),
+            f"labels_{rnd:05d}",
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        if materialize == "table":
+            spark.createDataFrame(
+                [(rnd + 1,)], "next_round int"
+            ).write.mode("overwrite").parquet(f"{table_path}/manifest")
+        changed = new.filter(F.col("changed")).count()
+        labels = new.select("doc_id", "label")
         if changed == 0:
             return labels.select(
                 "doc_id", F.col("label").alias("cluster_rep")

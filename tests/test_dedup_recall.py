@@ -346,3 +346,41 @@ def test_dup_clusters_convergence_bound(spark):
     )
     with _pytest.raises(RuntimeError):
         dup_clusters(chain, max_iter=3)
+
+
+def test_dup_clusters_table_mode_resumes(spark, tmp_path):
+    """materialize='table': every round is a durable parquet artifact. A
+    run killed mid-iteration (simulated by a too-small max_iter) leaves
+    its last completed round on disk; a NEW invocation with the same
+    table_path resumes from that round instead of restarting the closure,
+    and converges to the same answer as a fresh local-mode run."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.dedup import dup_clusters
+
+    # a 12-chain: diameter 11 → needs ~11 propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_id_a long, doc_id_b long"
+    )
+    path = str(tmp_path / "clusters")
+
+    with _pytest.raises(RuntimeError):
+        dup_clusters(chain, max_iter=4, materialize="table", table_path=path)
+    m1 = spark.read.parquet(f"{path}/manifest").collect()[0]["next_round"]
+    assert m1 == 4  # four completed durable rounds on disk
+
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in dup_clusters(
+            chain, max_iter=30, materialize="table", table_path=path
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(12)}
+    m2 = spark.read.parquet(f"{path}/manifest").collect()[0]["next_round"]
+    assert m2 > m1  # resumed forward, not restarted
+
+    want = {
+        r.doc_id: r.cluster_rep
+        for r in dup_clusters(chain, max_iter=30).collect()
+    }
+    assert got == want
