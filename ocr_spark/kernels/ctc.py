@@ -68,6 +68,8 @@ def ctc_beam_decode(
     logits: np.ndarray,
     seq_len: int | None = None,
     beam_width: int = 8,
+    bigram_log_prior: np.ndarray | None = None,
+    prior_weight: float = 1.0,
 ) -> str:
     """CTC prefix beam search over one line's logits ``[T, C]`` → text.
 
@@ -81,6 +83,14 @@ def ctc_beam_decode(
     per frame; ``merge_repeated`` semantics match the greedy decoder and
     the reference (repeat emission requires an intervening blank).
     Deterministic: ties break lexicographically on the prefix.
+
+    ``bigram_log_prior``: optional ``[C+1, C]`` log-prior fused at every
+    NEW-symbol emission — row ``prev`` (``C`` = start-of-line) scores the
+    next symbol given the previously emitted one. This is the engine's
+    fixed-weight analog of the reference's BiLSTM context
+    (``/root/reference/Module/RecognitionBackbone.py:77-123``): per-frame
+    evidence alone cannot tell O from 0 or l from 1 under heavy noise,
+    cross-symbol context can. Shallow-fusion weight ``prior_weight``.
     """
     logits = np.asarray(logits, dtype=np.float64)
     if logits.ndim != 2:
@@ -94,6 +104,14 @@ def ctc_beam_decode(
     z = logits - logits.max(axis=1, keepdims=True)
     probs = np.exp(z)
     probs /= probs.sum(axis=1, keepdims=True)
+    prior = None
+    if bigram_log_prior is not None:
+        prior = np.exp(np.asarray(bigram_log_prior, dtype=np.float64)
+                       * float(prior_weight))
+        if prior.shape != (C + 1, C):
+            raise ValueError(
+                f"bigram prior must be [{C + 1}, {C}], got {prior.shape}"
+            )
 
     # beams: prefix tuple -> (p_blank, p_non_blank)
     beams: dict[tuple[int, ...], tuple[float, float]] = {(): (1.0, 0.0)}
@@ -113,12 +131,18 @@ def ctc_beam_decode(
             # repeat last symbol without blank: stays the same labeling
             if prefix:
                 add(prefix, 0.0, pnb * frame[prefix[-1]])
+            prow = (
+                prior[prefix[-1] if prefix else C] if prior is not None
+                else None
+            )
             for c in range(C):
                 if c == BLANK_INDEX:
                     continue
                 p_c = frame[c]
                 if p_c < 1e-9:
                     continue
+                if prow is not None:
+                    p_c = p_c * prow[c]
                 if prefix and prefix[-1] == c:
                     # extend same symbol: only from the blank-ended mass
                     add(prefix + (c,), 0.0, pb * p_c)

@@ -394,6 +394,77 @@ def font_line_logits(strips: np.ndarray) -> np.ndarray:
     return logits
 
 
+# character classes for the fixed glyph-bigram context prior
+_CLS_OF = {}
+for _c in "0123456789":
+    _CLS_OF[_c] = 0  # digit
+for _o in range(26):
+    _CLS_OF[chr(ord("a") + _o)] = 1  # lower
+    _CLS_OF[chr(ord("A") + _o)] = 2  # upper
+_N_CLS = {0: 10, 1: 26, 2: 26, 3: 94 - 62}  # members per class
+# RELATIVE class-transition penalties (max 1 per row), NOT probability
+# mass. Two measured failure modes force this form: (a) absolute mass
+# (P/|class|) makes every emission pay ~log(1/26) that the blank path
+# never pays — a global deletion bias that dropped characters wholesale;
+# (b) harsh cross-class ratios (~50×) make skipping a legitimate
+# class-switching char cheaper than emitting it ('B00K1' → 'B001').
+# The NCC evidence is tempered by BEAM_LOGIT_SCALE=20, so a confusion
+# where the wrong glyph wins by Δncc ≲ 0.07 carries an evidence ratio
+# ≲ e^1.4 ≈ 4 — a mild 4-5× prior flips exactly those, while a clean
+# cross-class glyph (evidence ratio vs blank ≈ 100×) still emits.
+_CLS_TRANS = np.array(
+    [
+        # next:  digit lower upper punct
+        [1.00, 0.25, 0.20, 0.25],  # prev digit: digits run with digits
+        [0.25, 1.00, 0.25, 0.25],  # prev lower: words stay lowercase
+        [0.25, 1.00, 0.50, 0.25],  # prev upper: usually followed by lower
+        [1.00, 1.00, 1.00, 0.50],  # prev punct: letters/digits resume
+        [1.00, 1.00, 1.00, 1.00],  # start of line: uninformative
+    ]
+)
+
+
+def glyph_bigram_log_prior() -> np.ndarray:
+    """Fixed ``[NUM_CLASSES + 1, NUM_CLASSES]`` log-prior over glyph
+    bigrams — the engine's fixed-weight analog of the reference BiLSTM's
+    cross-glyph context (``Module/RecognitionBackbone.py:77-123``).
+
+    Character-CLASS bigram (digit/lower/upper/punct): after a digit,
+    another digit is favored over an uppercase letter — exactly the
+    signal that separates '0' from 'O' and '1' from 'l' when the
+    per-window NCC is too noisy to. Class level (not a trained char
+    table) keeps it corpus-free and honest: orthography, not memorized
+    text. Shallow fusion only — strong per-frame evidence still
+    overrides the prior.
+    """
+    out = np.full((NUM_CLASSES + 1, NUM_CLASSES), -np.inf)
+    for prev_cls in range(5):
+        row = np.empty(len(CHAR_VECTOR))
+        for j, ch in enumerate(CHAR_VECTOR):
+            nc = _CLS_OF.get(ch, 3)
+            row[j] = _CLS_TRANS[prev_cls, nc]
+        logrow = np.log(row)
+        if prev_cls == 4:
+            out[NUM_CLASSES, : len(CHAR_VECTOR)] = logrow
+        else:
+            for i, ch in enumerate(CHAR_VECTOR):
+                if _CLS_OF.get(ch, 3) == prev_cls:
+                    out[i, : len(CHAR_VECTOR)] = logrow
+    out[:, BLANK_INDEX] = 0.0  # prior never scores blank (CTC handles it)
+    return out
+
+
+# shallow-fusion weight for the bigram prior: swept over {0.4, 0.5, 0.7,
+# 1.0} on the ambiguity corpus — 0.5 keeps the full sigma=0.4 recovery
+# (258 vs greedy 253 exact over 300 lines) while flipping ZERO confident
+# clean reads even on class-inconsistent adversarial text ('Il1O0': at
+# weight 1.0 the prior overpowers the small O-vs-0 evidence gap and CTC
+# merges the flipped O into the adjacent 0)
+BIGRAM_PRIOR_WEIGHT = 0.5
+
+_BIGRAM_PRIOR = None
+
+
 def recognize_lines_font(
     strips: np.ndarray,
     widths: np.ndarray | list[int],
@@ -415,15 +486,31 @@ def recognize_lines_font(
     and is wired so a finer-stride windowing inherits it. Scores are
     tempered by ``BEAM_LOGIT_SCALE`` before the softmax. Cost is
     O(T·C·beam) Python per line vs one vectorized argmax.
+
+    ``"beam_lm"`` additionally fuses the fixed glyph-bigram context
+    prior (``glyph_bigram_log_prior``) into the beam — the
+    BiLSTM-analog: at noise levels where per-window NCC starts confusing
+    O/0 and l/1, cross-glyph context resolves them
+    (tests/test_font_ocr.py ambiguity corpus). Default-off.
     """
     logits = font_line_logits(strips)
     seq_lens = np.asarray(widths, dtype=np.int64) // GLYPH_W
-    if decoder == "beam":
+    if decoder in ("beam", "beam_lm"):
         from ocr_spark.kernels.ctc import ctc_beam_decode
 
+        prior = None
+        if decoder == "beam_lm":
+            global _BIGRAM_PRIOR
+            if _BIGRAM_PRIOR is None:
+                _BIGRAM_PRIOR = glyph_bigram_log_prior()
+            prior = _BIGRAM_PRIOR
         return [
             ctc_beam_decode(
-                logits[i] * BEAM_LOGIT_SCALE, int(seq_lens[i]), beam_width
+                logits[i] * BEAM_LOGIT_SCALE,
+                int(seq_lens[i]),
+                beam_width,
+                bigram_log_prior=prior,
+                prior_weight=BIGRAM_PRIOR_WEIGHT,
             )
             for i in range(logits.shape[0])
         ]

@@ -228,13 +228,19 @@ def _recognize_mixed(recognizer: str = "conv"):
     matched filter (``kernels.ocr``), "font" = the bitmap-atlas NCC
     recognizer (``kernels.font``) for anti-aliased / noisy imagery,
     "font_beam" = the same NCC scores decoded by CTC prefix beam search
-    (alignment-summing; the high-noise option)."""
+    (alignment-summing), "font_beam_lm" = beam + the fixed glyph-bigram
+    context prior (the BiLSTM-analog; recovers O/0 and l/1 confusions at
+    noise levels where per-window evidence fails — default-off)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if recognizer in ("font", "font_beam"):
+        if recognizer in ("font", "font_beam", "font_beam_lm"):
             from ocr_spark.kernels.font import recognize_lines_font
 
-            decoder = "beam" if recognizer == "font_beam" else "greedy"
+            decoder = {
+                "font": "greedy",
+                "font_beam": "beam",
+                "font_beam_lm": "beam_lm",
+            }[recognizer]
 
             def rec(strips, widths):
                 return recognize_lines_font(strips, widths, decoder=decoder)

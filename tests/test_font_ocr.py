@@ -222,3 +222,62 @@ def test_extract_full_font_beam_recognizer(spark):
         F.col("g.extracted_text") == F.col("b.extracted_text")
     ).count()
     assert n > 0 and same == n, (same, n)
+
+
+AMBIGUITY_CORPUS = [
+    # class-consistent texts heavy in the confusable glyph pairs
+    # (0/O, 1/l/|/I, 5/S, 8/B): digit runs and lowercase words — the
+    # realistic case where cross-glyph context carries signal
+    "100110", "201003", "9001", "815058",
+    "hello", "look", "cool", "ill", "lolo", "solid",
+]
+
+
+def test_bigram_prior_beats_greedy_where_greedy_starts_failing():
+    """The BiLSTM-analog capability gate: at the noise level where
+    NCC-greedy starts failing (sigma=0.4: per-window evidence confuses
+    O/0, l/1/I), fusing the fixed glyph-bigram class prior into the beam
+    recovers strictly more lines than greedy — and more than the
+    prior-free beam, isolating the prior as the cause."""
+    from ocr_spark.kernels.font import recognize_lines_font, render_distorted_line
+
+    g_ok = b_ok = lm_ok = 0
+    for t in AMBIGUITY_CORPUS:
+        for seed in range(30):
+            strip, w = render_distorted_line(t, scale=2.0, sigma=0.4, seed=seed)
+            g, = recognize_lines_font(strip[None], [w], decoder="greedy")
+            b, = recognize_lines_font(strip[None], [w], decoder="beam")
+            lm, = recognize_lines_font(strip[None], [w], decoder="beam_lm")
+            g_ok += g == t
+            b_ok += b == t
+            lm_ok += lm == t
+    assert g_ok < 300  # the operating point: greedy HAS started failing
+    assert lm_ok > g_ok, (lm_ok, g_ok)
+    assert lm_ok > b_ok, (lm_ok, b_ok)
+
+
+def test_bigram_prior_harmless_on_confident_reads():
+    """Shallow fusion discipline: at the contract distortion (sigma=0.1)
+    the evidence is confident and the prior must not flip anything —
+    beam_lm stays exact everywhere greedy is exact, including
+    class-INCONSISTENT texts the prior disfavors."""
+    from ocr_spark.kernels.font import recognize_lines_font, render_distorted_line
+
+    adversarial = ["B00K1", "Il1O0", "ll0o1", "x9z!Q2"]
+    for t in AMBIGUITY_CORPUS + adversarial:
+        for seed in range(5):
+            strip, w = render_distorted_line(t, scale=2.0, sigma=0.1, seed=seed)
+            g, = recognize_lines_font(strip[None], [w], decoder="greedy")
+            lm, = recognize_lines_font(strip[None], [w], decoder="beam_lm")
+            assert g == t, (t, seed, g)
+            assert lm == t, (t, seed, lm)
+
+
+def test_bigram_prior_shape_and_blank_column():
+    from ocr_spark.config import BLANK_INDEX, NUM_CLASSES
+    from ocr_spark.kernels.font import glyph_bigram_log_prior
+
+    p = glyph_bigram_log_prior()
+    assert p.shape == (NUM_CLASSES + 1, NUM_CLASSES)
+    assert (p[:, BLANK_INDEX] == 0.0).all()  # prior never scores blank
+    assert (p[NUM_CLASSES, :BLANK_INDEX] == 0.0).all()  # start row uniform

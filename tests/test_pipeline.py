@@ -191,3 +191,24 @@ def test_mixed_containers_both_decode(spark):
            extract_full(pages, recognizer="font").collect()}
     for seed in range(4):
         assert out[f"u:{seed}"].endswith(f"abc123\n\nline{seed}")
+
+
+def test_font_beam_lm_wired_end_to_end(spark):
+    """recognizer='font_beam_lm' (beam + glyph-bigram context prior) runs
+    through the fused pipeline and matches the greedy path at the
+    contract distortion (shallow fusion: confident reads unchanged)."""
+    import datetime
+
+    from ocr_spark.kernels.synth import wrap_html_with_font_images
+    from ocr_spark.sources.pages import PAGES_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    html = wrap_html_with_font_images(
+        "context page", "u:lm", ["100110", "hello42"], seed_base=3
+    )
+    pages = spark.createDataFrame(
+        [("u:lm", ts, bytearray(html), "t", "en")], PAGES_SCHEMA
+    )
+    out = {r.url: r.extracted_text for r in
+           extract_full(pages, recognizer="font_beam_lm").collect()}
+    assert out["u:lm"].endswith("100110\n\nhello42")
