@@ -390,4 +390,122 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         '<body><div class="print-header">Printed from example.com on 2024-01-01</div><main><article><p>The council approved the riverside path extension after two years of public consultation and budget review.</p></article></main><div class="print-footer"><a href="/terms">Terms</a> Page 1 of 1</div></body>',
         "The council approved the riverside path extension after two years of public consultation and budget review.",
     ),
+    (
+        32,
+        "AMP page: custom amp-* elements, sponsored amp-ad stripped",
+        """<body>
+        <header class="masthead"><a href="/">AMP News</a></header>
+        <article>
+        <p>The transit authority published ridership figures showing weekday boardings back at ninety percent of their level before the disruption.</p>
+        <amp-ad class="sponsored-slot" width="300" height="250"><a href="/sp">Sponsored: compare travel cards and save on every trip</a></amp-ad>
+        <p>Analysts attributed the recovery to schedule changes on the two busiest lines and to the new off-peak fare cap.</p>
+        </article>
+        <amp-sidebar class="sidebar"><a href="/world">World</a><a href="/city">City</a></amp-sidebar>
+        </body>""",
+        "The transit authority published ridership figures showing weekday boardings back at ninety percent of their level before the disruption.\n\n"
+        "Analysts attributed the recovery to schedule changes on the two busiest lines and to the new off-peak fare cap.",
+    ),
+    (
+        33,
+        "infinite-scroll stub: loader and skeleton placeholders stripped",
+        """<body><main class="content">
+        <article>
+        <p>Volunteers mapped four hundred kilometres of footpaths this spring, closing the last gaps in the regional trail network after a decade of surveys.</p>
+        </article>
+        <div class="loading-spinner">Loading more stories…</div>
+        <div class="skeleton-card loading"></div>
+        <div class="skeleton-card loading"></div>
+        </main></body>""",
+        "Volunteers mapped four hundred kilometres of footpaths this spring, closing the last gaps in the regional trail network after a decade of surveys.",
+    ),
+    (
+        34,
+        "paywall interstitial: lede kept, gate stripped",
+        """<body><article>
+        <p>The auditor's report found the tunnel project eight months behind schedule and identified the ventilation contract as the main source of the delay.</p>
+        <div class="paywall-gate"><h4>Keep reading</h4> Already a subscriber? <a href="/login">Sign in</a> <a href="/offer">Subscribe from $1 a week</a></div>
+        </article></body>""",
+        "The auditor's report found the tunnel project eight months behind schedule and identified the ventilation contract as the main source of the delay.",
+    ),
+    (
+        35,
+        "noscript image fallback never leaks",
+        """<body><main><article>
+        <p>Conservators reopened the painted hall after a three-year cleaning campaign that removed a century of varnish from the ceiling.</p>
+        <noscript><img src="/static/hall.jpg"><p>Your browser does not support scripts; view the gallery archive instead.</p></noscript>
+        <p>Visitor numbers in the first month exceeded the annual total of the years before the closure.</p>
+        </article></main></body>""",
+        "Conservators reopened the painted hall after a three-year cleaning campaign that removed a century of varnish from the ceiling.\n\n"
+        "Visitor numbers in the first month exceeded the annual total of the years before the closure.",
+    ),
+    (
+        36,
+        "MSO conditional comments in an email newsletter ignored",
+        """<body>
+        <!--[if mso]><table><tr><td>Outlook-only padding cell with decoy words<![endif]-->
+        <table role="presentation"><tr><td>
+        <p>This month the platform team retired the last of the legacy ingestion jobs and moved the final feeds onto the streaming path.</p>
+        </td></tr><tr><td class="footer"><a href="/unsubscribe">Unsubscribe</a> <a href="/view">View in browser</a></td></tr></table>
+        <!--[if mso]></td></tr></table><![endif]-->
+        </body>""",
+        "This month the platform team retired the last of the legacy ingestion jobs and moved the final feeds onto the streaming path.",
+    ),
+    (
+        37,
+        "GDPR consent modal with partner blurb stripped",
+        """<body>
+        <div class="consent-modal popup">We and our 847 partners store and access information on your device to provide personalised content. <button>Accept all</button> <button>Reject all</button> <a href="/partners">See partners</a></div>
+        <main><article>
+        <p>A survey of two thousand farms found cover cropping doubled soil carbon on the plots that kept the practice for five consecutive seasons.</p>
+        </article></main></body>""",
+        "A survey of two thousand farms found cover cropping doubled soil carbon on the plots that kept the practice for five consecutive seasons.",
+    ),
+    (
+        38,
+        "JSON-LD and OpenGraph decoys ignored",
+        """<head><meta property="og:description" content="Meta decoy text that must not leak."><title>Title decoy</title></head><body>
+        <script type="application/ld+json">{"@type":"NewsArticle","headline":"Structured-data decoy headline that looks like a sentence.","articleBody":"Decoy body text inside JSON-LD."}</script>
+        <article>
+        <p>Engineers traced the outage to a certificate that expired in a region the dashboard had stopped monitoring after an unrelated migration.</p>
+        </article></body>""",
+        "Engineers traced the outage to a certificate that expired in a region the dashboard had stopped monitoring after an unrelated migration.",
+    ),
+    (
+        39,
+        "related-articles grid after the story stripped",
+        """<body><main>
+        <article>
+        <p>The observatory's new spectrograph resolved the binary pair at the heart of the cluster, settling a forty-year argument about its mass.</p>
+        </article>
+        <div class="related-posts"><h4>More like this</h4>
+        <ul><li><a href="/a/1">How spectrographs work</a></li><li><a href="/a/2">The cluster catalogue</a></li><li><a href="/a/3">Observing guide</a></li></ul>
+        </div>
+        </main></body>""",
+        "The observatory's new spectrograph resolved the binary pair at the heart of the cluster, settling a forty-year argument about its mass.",
+    ),
+    (
+        40,
+        "product page: description kept, menu and reviews stripped",
+        """<body>
+        <ul class="menu"><li><a href="/">Shop</a></li><li><a href="/cart">Cart</a></li><li><a href="/account">Account</a></li></ul>
+        <main class="content">
+        <h1>Field kettle, 1.2 litre</h1>
+        <div class="description"><p>Spun from a single sheet of stainless steel, the kettle boils a litre in under four minutes on any stove and packs flat inside its own cup.</p></div>
+        <section class="reviews comment-list"><div class="comment"><a href="/u/9">hiker_9</a> boils fast, lid rattles a bit</div></section>
+        </main></body>""",
+        "Field kettle, 1.2 litre\n\n"
+        "Spun from a single sheet of stainless steel, the kettle boils a litre in under four minutes on any stove and packs flat inside its own cup.",
+    ),
+    (
+        41,
+        "sticky app-install banner and floating chat bubble stripped",
+        """<body>
+        <div class="app-banner sticky">Get our app for the best experience <a href="/install">Install</a> <button>Not now</button></div>
+        <article>
+        <p>The harbour master confirmed that the channel will be dredged to nine metres, allowing the larger ferries to berth at all tide states.</p>
+        </article>
+        <div class="chat-widget floating"><button>Chat with us</button></div>
+        </body>""",
+        "The harbour master confirmed that the channel will be dredged to nine metres, allowing the larger ferries to berth at all tide states.",
+    ),
 ]

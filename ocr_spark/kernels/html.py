@@ -70,7 +70,7 @@ _VOID_TAGS = frozenset("br hr img meta link input area base col source track wbr
 _NEG_ATTR_RE = re.compile(
     r"menu|footer|header|sidebar|side-bar|comment|banner|advert|promo|"
     r"share|social|breadcrumb|cookie|popup|masthead|related|widget|"
-    r"subscribe|sponsor|shoutbox|newsletter"
+    r"subscribe|sponsor|shoutbox|newsletter|paywall|consent|loading"
     r"|(?:^|[\s_-])(?:nav|ad|ads|cta)(?:$|[\s_-])",
     re.IGNORECASE,
 )
