@@ -38,6 +38,7 @@ entropy coding walks bit-by-bit in Python.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -162,22 +163,27 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-def _build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol lookup for the bit-serial decoder."""
+@lru_cache(maxsize=64)
+def _build_decode_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> list[int]:
+    """16-bit-peek Huffman LUT: index = the next 16 bits of the stream,
+    entry = ``(code_length << 8) | symbol`` (0 for bit patterns that are
+    no valid code). Cached — the Annex-K tables shared by every standard
+    JPEG build their 64Ki table once per process, not once per image."""
     if sum(bits) != len(vals) or sum(bits) > 256:
         raise ValueError("malformed Huffman table")
-    out: dict[tuple[int, int], int] = {}
+    lut = np.zeros(65536, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = (length << 8) | vals[k]
             code += 1
             k += 1
         if code > (1 << length):
             raise ValueError("over-subscribed Huffman table")
         code <<= 1
-    return out
+    return lut.tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -383,80 +389,130 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with stuffing and
-    restart-marker handling."""
+def _split_entropy(data: bytes, pos: int) -> list[tuple[bytes, int | None]]:
+    """Entropy-coded data starting at ``pos`` → ``(destuffed_bytes, rst_n)``
+    segments, split at RSTn markers. ``rst_n`` is the 0–7 sequence number
+    of the marker that TERMINATED the segment (``None`` for the final
+    segment, which ends at a real marker or the end of the buffer). Byte
+    stuffing (FF 00 → FF) is removed here ONCE, C-speed via ``bytes.find``
+    over the rare 0xFF positions, so the bit reader below never has to
+    scan for markers."""
+    segs: list[tuple[bytes, int | None]] = []
+    parts: list[bytes] = []
+    i = pos
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            parts.append(data[i:])
+            break
+        if j + 1 >= n:
+            raise ValueError("truncated after 0xFF")
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            parts.append(data[i : j + 1])  # keep the FF, drop the stuffed 00
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            parts.append(data[i:j])
+            segs.append((b"".join(parts), nxt & 7))
+            parts = []
+            i = j + 2
+        else:
+            parts.append(data[i:j])  # real marker ends the entropy stream
+            break
+    segs.append((b"".join(parts), None))
+    return segs
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-        self.marker: int | None = None  # first non-RST marker seen
 
-    def _fill(self) -> None:
-        if self.marker is not None:
-            raise ValueError("read past end of entropy-coded segment")
-        if self.pos >= len(self.data):
+class _EntropyReader:
+    """LUT-driven MSB-first bit reader over ONE destuffed entropy segment.
+
+    ``w40[i]`` holds bytes ``i..i+4`` big-endian (a Python list of plain
+    ints — list indexing beats NumPy scalar boxing in the per-symbol
+    loop), so ONE index serves both a 16-bit Huffman-LUT probe and the
+    coefficient's extra bits: the worst case (7-bit byte offset + 16-bit
+    code + 15-bit magnitude = 38 bits) still fits the window. A Huffman
+    decode is a single probe of a 64Ki lookup table (entries pack
+    ``(code_length << 8) | symbol``, 0 = invalid code) instead of a
+    bit-serial walk. Entropy decode is the only inherently sequential part
+    of JPEG — everything downstream (dequant/IDCT/upsample) is vectorized
+    NumPy — so it is the part that must not cost a dict probe per BIT."""
+
+    __slots__ = ("w40", "pos", "nbits")
+
+    def __init__(self, seg: bytes) -> None:
+        b = np.frombuffer(seg + b"\x00" * 5, np.uint8).astype(np.uint64)
+        self.w40 = (
+            (b[:-4] << 32) | (b[1:-3] << 24) | (b[2:-2] << 16)
+            | (b[3:-1] << 8) | b[4:]
+        ).tolist()
+        self.pos = 0
+        self.nbits = 8 * len(seg)
+
+    def decode_block(
+        self,
+        dc_lut: list[int],
+        ac_lut: list[int],
+        pred: int,
+        ks: list[int],
+        vals: list[int],
+        base_k: int,
+    ) -> int:
+        """Decode ONE 8×8 block. Nonzero coefficients are appended to
+        ``ks``/``vals`` as (``base_k`` + zigzag index, value) for a single
+        vectorized scatter per component after the MCU loop — no per-
+        coefficient NumPy writes. Returns the updated DC predictor."""
+        w = self.w40
+        p = self.pos
+        nb = self.nbits
+        if p >= nb:
             raise ValueError("truncated entropy-coded data")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated after 0xFF")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1
-            else:
-                # a real marker terminates the bit stream here
-                self.marker = nxt
-                self.pos += 1
-                raise ValueError("entropy stream hit marker prematurely")
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
-
-    def sync_restart(self, expect: int) -> None:
-        """Byte-align and consume the RSTn marker at a restart boundary."""
-        self.acc = 0
-        self.nbits = 0
-        if self.pos + 2 > len(self.data):
-            raise ValueError("truncated at restart marker")
-        if self.data[self.pos] != 0xFF:
-            raise ValueError("missing restart marker")
-        m = self.data[self.pos + 1]
-        if not 0xD0 <= m <= 0xD7:
-            raise ValueError(f"expected RSTn, found FF{m:02x}")
-        if (m & 7) != (expect & 7):
-            raise ValueError("restart marker out of sequence")
-        self.pos += 2
-
-
-def _extend(v: int, cat: int) -> int:
-    if cat == 0:
-        return 0
-    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
-
-
-def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+        win = w[p >> 3]
+        o = p & 7
+        v = dc_lut[(win >> (24 - o)) & 0xFFFF]
+        if v == 0:
+            raise ValueError("invalid Huffman code")
+        t = v & 0xFF
+        if t > 11:
+            raise ValueError("invalid DC category")
+        ln = v >> 8
+        if t:
+            extra = (win >> (40 - o - ln - t)) & ((1 << t) - 1)
+            pred += extra if extra >= (1 << (t - 1)) else extra - (1 << t) + 1
+        p += ln + t
+        if pred:
+            ks.append(base_k)
+            vals.append(pred)
+        k = 1
+        while k < 64:
+            if p >= nb:
+                raise ValueError("truncated entropy-coded data")
+            win = w[p >> 3]
+            o = p & 7
+            v = ac_lut[(win >> (24 - o)) & 0xFFFF]
+            if v == 0:
+                raise ValueError("invalid Huffman code")
+            ln = v >> 8
+            rs = v & 0xFF
+            s = rs & 15
+            if s == 0:
+                p += ln
+                if rs == 0xF0:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("AC run past block end")
+            extra = (win >> (40 - o - ln - s)) & ((1 << s) - 1)
+            p += ln + s
+            ks.append(base_k + k)
+            vals.append(
+                extra if extra >= (1 << (s - 1)) else extra - (1 << s) + 1
+            )
+            k += 1
+        self.pos = p
+        return pred
 
 
 def jpeg_dims(data: bytes) -> tuple[int, int, int]:
@@ -537,8 +593,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 if p + 17 + n > len(body):
                     raise ValueError("truncated DHT")
-                vals = list(body[p + 17 : p + 17 + n])
-                huff[(cls, tid)] = _build_decode(bits, vals)
+                vals = tuple(body[p + 17 : p + 17 + n])
+                huff[(cls, tid)] = _build_decode_lut(tuple(bits), vals)
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -599,50 +655,59 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         comp_blocks.append(np.zeros((bh * bw, 64), dtype=np.int64))
         comp_bw.append(bw)
 
-    reader = _BitReader(data, seg_end)
+    # resolve each component's Huffman LUTs once (they cannot change
+    # mid-scan); undefined-table errors surface before any MCU decodes
+    comp_tabs: list[tuple[list[int], list[int]]] = []
+    for cid, _hs, _vs, _tq in comps:
+        td, ta = scan_tables.get(cid, (0, 0))
+        dc_tab = huff.get((0, td))
+        ac_tab = huff.get((1, ta))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("scan references undefined DHT")
+        comp_tabs.append((dc_tab, ac_tab))
+
+    segs = _split_entropy(data, seg_end)
+    seg_idx = 0
+    reader = _EntropyReader(segs[0][0])
     preds = [0] * len(comps)
+    comp_ks: list[list[int]] = [[] for _ in comps]
+    comp_vals: list[list[int]] = [[] for _ in comps]
     rst_count = 0
     n_rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and rst_count == restart_interval:
-                reader.sync_restart(n_rst)
+                rst_n = segs[seg_idx][1]
+                if rst_n is None:
+                    raise ValueError("missing restart marker")
+                if rst_n != (n_rst & 7):
+                    raise ValueError("restart marker out of sequence")
+                if reader.pos > reader.nbits:
+                    raise ValueError("truncated entropy-coded data")
+                seg_idx += 1  # _split_entropy guarantees a following seg
+                reader = _EntropyReader(segs[seg_idx][0])
                 n_rst = (n_rst + 1) & 7
                 preds = [0] * len(comps)
                 rst_count = 0
             rst_count += 1
-            for ci, (cid, hs, vs, _tq) in enumerate(comps):
-                td, ta = scan_tables.get(cid, (0, 0))
-                dc_tab = huff.get((0, td))
-                ac_tab = huff.get((1, ta))
-                if dc_tab is None or ac_tab is None:
-                    raise ValueError("scan references undefined DHT")
+            for ci, (_cid, hs, vs, _tq) in enumerate(comps):
+                dc_tab, ac_tab = comp_tabs[ci]
+                ks = comp_ks[ci]
+                vals = comp_vals[ci]
+                bw = comp_bw[ci]
                 for by in range(vs):
+                    base = ((my * vs + by) * bw + mx * hs) * 64
                     for bx in range(hs):
-                        blk = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(reader, dc_tab)
-                        if t > 11:
-                            raise ValueError("invalid DC category")
-                        diff = _extend(reader.receive(t), t)
-                        preds[ci] += diff
-                        blk[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_tab)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            blk[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        row = my * vs + by
-                        col = mx * hs + bx
-                        comp_blocks[ci][row * comp_bw[ci] + col] = blk
+                        preds[ci] = reader.decode_block(
+                            dc_tab, ac_tab, preds[ci], ks, vals, base + 64 * bx
+                        )
+    if reader.pos > reader.nbits:
+        raise ValueError("truncated entropy-coded data")
+    for ci in range(len(comps)):
+        if comp_ks[ci]:
+            comp_blocks[ci].reshape(-1)[
+                np.asarray(comp_ks[ci], dtype=np.int64)
+            ] = np.asarray(comp_vals[ci], dtype=np.int64)
 
     # vectorized dequantize + IDCT + plane assembly per component
     planes = []
