@@ -14,13 +14,65 @@ return exactly ``documents.text`` — which makes the flagship query
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ocr_spark.kernels.synth import url_for_doc, warc_ts_for_doc, wrap_html
+
+# Bump whenever ANY page-fixture generator (kernels.synth wrap_html_* or
+# the sources below) changes output bytes — the cache key includes it.
+_FIXTURE_VERSION = "r4-1"
+
+
+def _cached_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Build-once parquet cache for image-bearing synthetic page fixtures.
+
+    The image fixtures encode REAL PNG/JPEG container bytes per embedded
+    line; regenerating them on every query execution times fixture
+    synthesis, not the engine — at production scale the crawl already
+    exists on disk. Pages are deterministic per
+    ``(sf_dir, kind, _FIXTURE_VERSION)``, so the first call materializes
+    them to parquet and later calls scan that. Set
+    ``SPARK_GRAFT_FIXTURE_CACHE=off`` to disable (every call regenerates).
+
+    The cached files are written from ``defaultParallelism`` partitions
+    but are small enough that a plain scan would coalesce to one split
+    (``maxPartitionBytes``) — re-fan-out with one explicit repartition so
+    downstream decode/extract uses every core."""
+    base = os.environ.get("SPARK_GRAFT_FIXTURE_CACHE", "")
+    if base.lower() in ("off", "0", "none"):
+        return build()
+    if not base:
+        base = os.path.join(tempfile.gettempdir(), "ocr_spark_fixture_cache")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{kind}|{_FIXTURE_VERSION}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(base, f"{kind}-{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # a concurrent session won the rename; its cache is equivalent
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
 
 PAGES_SCHEMA = T.StructType(
     [
@@ -123,7 +175,10 @@ def pages_with_images_from_documents(
                 }
             )
 
-    return docs.mapInPandas(fn, schema=PAGES_SCHEMA)
+    return _cached_pages(
+        spark, sf_dir, "pages_images",
+        lambda: docs.mapInPandas(fn, schema=PAGES_SCHEMA),
+    )
 
 
 def pages_with_noisy_font_images_from_documents(
@@ -171,7 +226,10 @@ def pages_with_noisy_font_images_from_documents(
                 }
             )
 
-    return docs.mapInPandas(fn, schema=PAGES_SCHEMA)
+    return _cached_pages(
+        spark, sf_dir, "pages_noisy",
+        lambda: docs.mapInPandas(fn, schema=PAGES_SCHEMA),
+    )
 
 
 def expected_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
