@@ -534,11 +534,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       parse + inflate + unfilter.
     - ODD doc_ids: a per-8×8-block-uniform grayscale image (W = 8·(1 +
       doc_id % 5), H = 16, block b value (doc_id·7 + 13·b) % 251) encoded
-      as an actual baseline JPEG (``kernels.jpeg``, quality 90), decoded
-      back via marker parse + Huffman + dequantize + IDCT. DC-only blocks
-      at q90 reconstruct EXACTLY, so the oracle predicts the decoded
-      pixel-sum checksum Σ 64·v_b in closed form — a value that only
-      exists after a full real decode.
+      as an actual JPEG (``kernels.jpeg``, quality 90 — baseline SOF0,
+      or SOF2 progressive for doc_id % 4 == 3), decoded back via marker
+      parse + Huffman + dequantize + IDCT (scan accumulation for the
+      progressive container). DC-only blocks at q90 reconstruct EXACTLY,
+      so the oracle predicts the decoded pixel-sum checksum Σ 64·v_b in
+      closed form — a value that only exists after a full real decode.
 
     The oracle checks the sniffed container fmt, the PNG byte size, the
     decoded dimensions (which only exist inside the payload), and the
@@ -574,7 +575,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .repeat(8, axis=1)
                         .astype(np.uint8)
                     )
-                    payload = encode_jpeg(pix, quality=90)
+                    # doc_id % 4 == 3 ships SOF2 progressive: same
+                    # quantized coefficients, same exact DC-only pixel
+                    # sum — one closed-form oracle proves both containers
+                    payload = encode_jpeg(
+                        pix, quality=90, progressive=doc_id % 4 == 3
+                    )
                 ids.append(doc_id)
                 urls.append(f"mem://doc/{doc_id}")
                 payloads.append(payload)

@@ -266,6 +266,161 @@ def _encode_blocks(
     return pred
 
 
+# Progressive scans need EOBn symbols (r<<4 with r>0) that the Annex-K
+# sequential AC tables do not define; real encoders ship custom optimized
+# tables. This one is deliberately simple: every (run, size) symbol with
+# size ≤ 10 plus ZRL and all EOBn, each as a length-8 canonical code
+# (176 codes ≤ 255 slots — valid, never the all-ones code).
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def _enc_dc_first(writer, zzs_list, dc_codes_list, al):
+    """Progressive DC first scan (Ah=0): interleaved MCU order, one block
+    per component per MCU (gray or 4:4:4), diffs in the >>Al domain."""
+    preds = [0] * len(zzs_list)
+    for i in range(len(zzs_list[0])):
+        for ci, zz in enumerate(zzs_list):
+            v = int(zz[i][0]) >> al  # arithmetic shift, matches coef<<Al
+            diff = v - preds[ci]
+            preds[ci] = v
+            cat, extra = _category(diff)
+            code, ln = dc_codes_list[ci][cat]
+            writer.write(code, ln)
+            if cat:
+                writer.write(extra, cat)
+
+
+def _enc_dc_refine(writer, zzs_list, al):
+    """Progressive DC refinement (Ah=Al+1 → Al): one raw bit per block."""
+    for i in range(len(zzs_list[0])):
+        for zz in zzs_list:
+            writer.write((int(zz[i][0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(writer, zz, ss, se, al, ac_codes):
+    """Progressive AC first scan over one component's blocks: run/size
+    coding within the band with EOB-run accumulation (T.81 G.1.2.2)."""
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        while eobrun:
+            r = min(eobrun.bit_length() - 1, 14)
+            run = min(eobrun, (1 << (r + 1)) - 1)
+            code, ln = ac_codes[r << 4]
+            writer.write(code, ln)
+            if r:
+                writer.write(run - (1 << r), r)
+            eobrun -= run
+
+    for blk in zz:
+        coded = {}
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al  # magnitude shift (toward zero), not >>
+            if t:
+                coded[k] = t if v > 0 else -t
+        if not coded:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+            continue
+        emit_eobrun()
+        run = 0
+        last = max(coded)
+        for k in range(ss, last + 1):
+            if k not in coded:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                writer.write(code, ln)
+                run -= 16
+            cat, extra = _category(coded[k])
+            code, ln = ac_codes[(run << 4) | cat]
+            writer.write(code, ln)
+            writer.write(extra, cat)
+            run = 0
+        if last < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _enc_ac_refine(writer, zz, ss, se, al, ac_codes):
+    """Progressive AC refinement (Ah=Al+1 → Al) over one component's
+    blocks — the correction-bit protocol of T.81 G.1.2.3 (the exact
+    buffering discipline of libjpeg's encode_mcu_AC_refine). Correction
+    bits for already-significant coefficients live in TWO buffers with
+    different flush points: ``be`` (bits owed to blocks counted in the
+    pending EOB run — flushed right after the EOBn symbol, read by the
+    decoder's EOB-region sweep over those blocks) and ``br`` (bits for
+    coefficients of the CURRENT block since its last symbol — flushed
+    after the next ZRL/significant symbol, read by the decoder's run
+    advance). Conflating them puts current-block bits before the symbol
+    they must follow and desyncs the decoder."""
+    eobrun = 0
+    be: list[int] = []  # correction bits owed to the pending EOB run
+    br: list[int] = []  # current block's bits since its last symbol
+
+    def flush_br():
+        nonlocal br
+        for b in br:
+            writer.write(b, 1)
+        br = []
+
+    def emit_eobrun():
+        nonlocal eobrun, be
+        while eobrun:
+            r = min(eobrun.bit_length() - 1, 14)
+            run = min(eobrun, (1 << (r + 1)) - 1)
+            code, ln = ac_codes[r << 4]
+            writer.write(code, ln)
+            if r:
+                writer.write(run - (1 << r), r)
+            eobrun -= run
+            for b in be:
+                writer.write(b, 1)
+            be = []
+
+    for blk in zz:
+        t = [abs(int(blk[k])) >> al for k in range(64)]
+        eob_pos = 0  # last newly-significant position in the band
+        for k in range(ss, se + 1):
+            if t[k] == 1:
+                eob_pos = k
+        r = 0
+        for k in range(ss, se + 1):
+            tv = t[k]
+            if tv == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_pos:
+                emit_eobrun()
+                code, ln = ac_codes[0xF0]
+                writer.write(code, ln)
+                r -= 16
+                flush_br()
+            if tv > 1:
+                br.append(tv & 1)
+                continue
+            emit_eobrun()
+            code, ln = ac_codes[(r << 4) | 1]
+            writer.write(code, ln)
+            writer.write(1 if int(blk[k]) > 0 else 0, 1)
+            flush_br()
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)  # this block's tail bits ride with the EOB run
+            br = []
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
 def _plane_to_zz(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     """8-padded float plane → quantized zigzag blocks [n_blocks, 64] in
     row-major block order. Vectorized DCT + quantization."""
@@ -285,12 +440,22 @@ def _pad8(plane: np.ndarray) -> np.ndarray:
     return np.pad(plane, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """uint8 (H, W) grayscale or (H, W, 3) RGB → baseline JFIF bytes.
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, progressive: bool = False
+) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB → baseline JFIF bytes
+    (``progressive=True`` → SOF2 progressive JFIF).
 
     Grayscale emits one component; RGB converts to YCbCr and encodes
     4:4:4 (every component full resolution — no subsampling, maximum
     fidelity for the OCR-strip use where chroma edges carry glyphs).
+
+    The progressive script exercises every scan kind a real web encoder
+    emits: DC first at Al=1, AC first scans (spectrally split for the
+    luma/gray component) at Al=1, then DC and AC refinement passes down
+    to Al=0 — the quantized coefficients are identical to the baseline
+    encoding at the same quality, so both containers decode to
+    byte-identical pixels.
     """
     img = np.asarray(img)
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
@@ -335,17 +500,66 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         out += b"\xff\xdb" + struct.pack(">HB", 67, 0x01) + bytes(
             int(v) for v in qc[_ZZ]
         )
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += struct.pack("BBB", ci + 1, 0x11, tab_ids[ci])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0")
+    out += struct.pack(">H", 2 + len(sof)) + sof
 
     # DHT segments
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
         body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(comp_tabs: list[tuple[int, int, int]],
+            ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_tabs)])
+        for cid, td, ta in comp_tabs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    zzs = [_plane_to_zz(_pad8(p), q) for p, q in zip(planes, qtabs)]
+
+    if progressive:
+        out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+        out += dht(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+        if not gray:
+            out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        dc_codes = [_build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+        if not gray:
+            dc_c = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+            dc_codes += [dc_c, dc_c]
+        prog_ac = _build_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+        dc_comps = [(ci + 1, tab_ids[ci], 0) for ci in range(ncomp)]
+        # spectral split for component 0; full band for chroma
+        bands = [[(1, 5), (6, 63)]] + [[(1, 63)]] * (ncomp - 1)
+        # DC first at Al=1, then the AC first scans at Al=1
+        out += sos(dc_comps, 0, 0, 0, 1)
+        writer = _BitWriter()
+        _enc_dc_first(writer, zzs, dc_codes, 1)
+        out += writer.flush()
+        for ci in range(ncomp):
+            for b0, b1 in bands[ci]:
+                out += sos([(ci + 1, 0, 0)], b0, b1, 0, 1)
+                writer = _BitWriter()
+                _enc_ac_first(writer, zzs[ci], b0, b1, 1, prog_ac)
+                out += writer.flush()
+        # refinement passes down to Al=0
+        out += sos(dc_comps, 0, 0, 1, 0)
+        writer = _BitWriter()
+        _enc_dc_refine(writer, zzs, 0)
+        out += writer.flush()
+        for ci in range(ncomp):
+            for b0, b1 in bands[ci]:
+                out += sos([(ci + 1, 0, 0)], b0, b1, 1, 0)
+                writer = _BitWriter()
+                _enc_ac_refine(writer, zzs[ci], b0, b1, 0, prog_ac)
+                out += writer.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
 
     out += dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
     out += dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -353,20 +567,14 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         out += dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
         out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
 
-    # SOS
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        t = tab_ids[ci]
-        sos += bytes([ci + 1, (t << 4) | t])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += sos([(ci + 1, tab_ids[ci], tab_ids[ci]) for ci in range(ncomp)],
+               0, 63, 0, 0)
 
     # entropy-coded data: 4:4:4 interleave = one block per component/MCU
     dc_l = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_c = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_c = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    zzs = [_plane_to_zz(_pad8(p), q) for p, q in zip(planes, qtabs)]
     writer = _BitWriter()
     if gray:
         _encode_blocks(writer, zzs[0], dc_l, ac_l, 0)
@@ -389,18 +597,23 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _split_entropy(data: bytes, pos: int) -> list[tuple[bytes, int | None]]:
-    """Entropy-coded data starting at ``pos`` → ``(destuffed_bytes, rst_n)``
-    segments, split at RSTn markers. ``rst_n`` is the 0–7 sequence number
-    of the marker that TERMINATED the segment (``None`` for the final
-    segment, which ends at a real marker or the end of the buffer). Byte
-    stuffing (FF 00 → FF) is removed here ONCE, C-speed via ``bytes.find``
-    over the rare 0xFF positions, so the bit reader below never has to
-    scan for markers."""
+def _split_entropy(
+    data: bytes, pos: int
+) -> tuple[list[tuple[bytes, int | None]], int]:
+    """Entropy-coded data starting at ``pos`` → ``(segments, end)``:
+    ``(destuffed_bytes, rst_n)`` segments split at RSTn markers, plus the
+    offset of the terminating real marker's 0xFF (``len(data)`` if the
+    buffer ends first — progressive decode resumes marker parsing at
+    ``end``). ``rst_n`` is the 0–7 sequence number of the marker that
+    TERMINATED the segment (``None`` for the final segment). Byte
+    stuffing (FF 00 → FF) is removed here ONCE, C-speed via
+    ``bytes.find`` over the rare 0xFF positions, so the bit reader below
+    never has to scan for markers."""
     segs: list[tuple[bytes, int | None]] = []
     parts: list[bytes] = []
     i = pos
     n = len(data)
+    end = n
     while True:
         j = data.find(b"\xff", i)
         if j < 0:
@@ -419,9 +632,10 @@ def _split_entropy(data: bytes, pos: int) -> list[tuple[bytes, int | None]]:
             i = j + 2
         else:
             parts.append(data[i:j])  # real marker ends the entropy stream
+            end = j
             break
     segs.append((b"".join(parts), None))
-    return segs
+    return segs, end
 
 
 class _EntropyReader:
@@ -448,6 +662,28 @@ class _EntropyReader:
         ).tolist()
         self.pos = 0
         self.nbits = 8 * len(seg)
+
+    def huff(self, lut: list[int]) -> int:
+        """Decode one Huffman symbol (progressive scans; the baseline hot
+        path uses the fused ``decode_block`` instead)."""
+        p = self.pos
+        if p >= self.nbits:
+            raise ValueError("truncated entropy-coded data")
+        v = lut[(self.w40[p >> 3] >> (24 - (p & 7))) & 0xFFFF]
+        if v == 0:
+            raise ValueError("invalid Huffman code")
+        self.pos = p + (v >> 8)
+        return v & 0xFF
+
+    def receive(self, n: int) -> int:
+        """Read ``n`` (≤ 16) raw MSB-first bits."""
+        if n == 0:
+            return 0
+        p = self.pos
+        if p >= self.nbits:
+            raise ValueError("truncated entropy-coded data")
+        self.pos = p + n
+        return (self.w40[p >> 3] >> (40 - (p & 7) - n)) & ((1 << n) - 1)
 
     def decode_block(
         self,
@@ -538,15 +774,334 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
     raise ValueError("no SOF marker found")
 
 
+def _extend(v: int, cat: int) -> int:
+    """T.81 EXTEND: map ``cat`` received magnitude bits to a signed
+    coefficient value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _alloc_blocks(frame):
+    """Per-component zigzag coefficient store on the MCU-padded grid."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    comp_blocks: list[np.ndarray] = []
+    comp_bw: list[int] = []
+    for _cid, hs, vs, _tq in comps:
+        bw, bh = mcus_x * hs, mcus_y * vs
+        comp_blocks.append(np.zeros((bh * bw, 64), dtype=np.int64))
+        comp_bw.append(bw)
+    return comp_blocks, comp_bw, mcus_x, mcus_y
+
+
+def _decode_baseline_scan(
+    data, seg_end, body, comps, huff, restart_interval,
+    comp_blocks, comp_bw, mcus_x, mcus_y,
+):
+    """The single interleaved scan of a baseline/extended-sequential
+    image: every component's full spectrum, MCU order."""
+    ns = body[0]
+    if ns != len(comps):
+        raise ValueError("non-interleaved multi-scan sequential JPEG "
+                         "unsupported")
+    scan_tables = {}
+    for si in range(ns):
+        cid = body[1 + 2 * si]
+        tt = body[2 + 2 * si]
+        scan_tables[cid] = (tt >> 4, tt & 15)
+
+    # resolve each component's Huffman LUTs once (they cannot change
+    # mid-scan); undefined-table errors surface before any MCU decodes
+    comp_tabs: list[tuple[list[int], list[int]]] = []
+    for cid, _hs, _vs, _tq in comps:
+        td, ta = scan_tables.get(cid, (0, 0))
+        dc_tab = huff.get((0, td))
+        ac_tab = huff.get((1, ta))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("scan references undefined DHT")
+        comp_tabs.append((dc_tab, ac_tab))
+
+    segs, _end = _split_entropy(data, seg_end)
+    seg_idx = 0
+    reader = _EntropyReader(segs[0][0])
+    preds = [0] * len(comps)
+    comp_ks: list[list[int]] = [[] for _ in comps]
+    comp_vals: list[list[int]] = [[] for _ in comps]
+    rst_count = 0
+    n_rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and rst_count == restart_interval:
+                rst_n = segs[seg_idx][1]
+                if rst_n is None:
+                    raise ValueError("missing restart marker")
+                if rst_n != (n_rst & 7):
+                    raise ValueError("restart marker out of sequence")
+                if reader.pos > reader.nbits:
+                    raise ValueError("truncated entropy-coded data")
+                seg_idx += 1  # _split_entropy guarantees a following seg
+                reader = _EntropyReader(segs[seg_idx][0])
+                n_rst = (n_rst + 1) & 7
+                preds = [0] * len(comps)
+                rst_count = 0
+            rst_count += 1
+            for ci, (_cid, hs, vs, _tq) in enumerate(comps):
+                dc_tab, ac_tab = comp_tabs[ci]
+                ks = comp_ks[ci]
+                vals = comp_vals[ci]
+                bw = comp_bw[ci]
+                for by in range(vs):
+                    base = ((my * vs + by) * bw + mx * hs) * 64
+                    for bx in range(hs):
+                        preds[ci] = reader.decode_block(
+                            dc_tab, ac_tab, preds[ci], ks, vals, base + 64 * bx
+                        )
+    if reader.pos > reader.nbits:
+        raise ValueError("truncated entropy-coded data")
+    for ci in range(len(comps)):
+        if comp_ks[ci]:
+            comp_blocks[ci].reshape(-1)[
+                np.asarray(comp_ks[ci], dtype=np.int64)
+            ] = np.asarray(comp_vals[ci], dtype=np.int64)
+
+
+def _decode_progressive_scan(
+    data, seg_end, body, frame, huff, restart_interval,
+    comp_blocks, comp_bw, mcus_x, mcus_y,
+):
+    """ONE progressive (SOF2) scan: DC first / DC refinement (optionally
+    interleaved) or AC first / AC refinement (single-component, spectral
+    band Ss..Se, successive-approximation shift Al). Coefficients
+    accumulate across scans into ``comp_blocks`` at FULL precision; the
+    shared dequant/IDCT finalizer runs once at EOI. EOB-run coding
+    (T.81 G.1.2.2) and the correction-bit protocol (G.1.2.3) follow the
+    spec exactly. Returns the buffer offset of the scan-terminating
+    marker so the caller resumes marker parsing there."""
+    h, w, comps = frame
+    if len(body) < 1:
+        raise ValueError("truncated SOS header")
+    ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise ValueError("truncated SOS header")
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    scan_comps: list[tuple[int, int, int]] = []  # (ci, dc_tid, ac_tid)
+    for si in range(ns):
+        cid = body[1 + 2 * si]
+        tt = body[2 + 2 * si]
+        if cid not in cid_to_ci:
+            raise ValueError("scan references unknown component")
+        scan_comps.append((cid_to_ci[cid], tt >> 4, tt & 15))
+    ss = body[1 + 2 * ns]
+    se = body[2 + 2 * ns]
+    a = body[3 + 2 * ns]
+    ah, al = a >> 4, a & 15
+    if not 0 <= ss <= se <= 63 or al > 13 or ah > 13:
+        raise ValueError("invalid progressive scan parameters")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and ns != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    if ns not in (1, len(comps)):
+        raise ValueError("unsupported progressive scan interleaving")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    dc_scan = ss == 0
+    refine = ah != 0
+    p1 = 1 << al
+
+    # resolve the needed Huffman LUT per scan component up front
+    luts: list[list[int] | None] = []
+    for ci, td, ta in scan_comps:
+        if dc_scan and refine:
+            luts.append(None)  # DC refinement reads raw bits only
+            continue
+        lut = huff.get((0, td) if dc_scan else (1, ta))
+        if lut is None:
+            raise ValueError("scan references undefined DHT")
+        luts.append(lut)
+
+    segs, end = _split_entropy(data, seg_end)
+    state = {
+        "seg_idx": 0,
+        "reader": _EntropyReader(segs[0][0]),
+        "preds": [0] * len(comps),
+        "eobrun": 0,
+        "rst_count": 0,
+        "n_rst": 0,
+    }
+
+    def restart_boundary():
+        rst_n = segs[state["seg_idx"]][1]
+        if rst_n is None:
+            raise ValueError("missing restart marker")
+        if rst_n != (state["n_rst"] & 7):
+            raise ValueError("restart marker out of sequence")
+        if state["reader"].pos > state["reader"].nbits:
+            raise ValueError("truncated entropy-coded data")
+        state["seg_idx"] += 1
+        state["reader"] = _EntropyReader(segs[state["seg_idx"]][0])
+        state["n_rst"] = (state["n_rst"] + 1) & 7
+        state["preds"] = [0] * len(comps)
+        state["eobrun"] = 0
+        state["rst_count"] = 0
+
+    def units():
+        """Restart units: one MCU (interleaved) or one block
+        (non-interleaved, the component's own ceil(dim/8) grid — NOT the
+        MCU-padded grid, T.81 A.2.2)."""
+        if ns > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    out = []
+                    for si, (ci, _td, _ta) in enumerate(scan_comps):
+                        _cid, hs, vs, _tq = comps[ci]
+                        bw = comp_bw[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                out.append(
+                                    (si, ci,
+                                     (my * vs + by) * bw + mx * hs + bx)
+                                )
+                    yield out
+        else:
+            si, (ci, _td, _ta) = 0, scan_comps[0]
+            _cid, hs, vs, _tq = comps[ci]
+            cw = -(-(w * hs) // hmax)  # component px dims, T.81 A.1.1
+            ch = -(-(h * vs) // vmax)
+            bw_eff = -(-cw // 8)
+            bh_eff = -(-ch // 8)
+            bw = comp_bw[ci]
+            for by in range(bh_eff):
+                for bx in range(bw_eff):
+                    yield [(si, ci, by * bw + bx)]
+
+    for unit in units():
+        if restart_interval and state["rst_count"] == restart_interval:
+            restart_boundary()
+        state["rst_count"] += 1
+        reader = state["reader"]
+        for si, ci, idx in unit:
+            blk = comp_blocks[ci][idx]
+            if dc_scan:
+                if refine:
+                    if reader.receive(1):
+                        blk[0] = int(blk[0]) | p1
+                else:
+                    t = reader.huff(luts[si])
+                    if t > 11:
+                        raise ValueError("invalid DC category")
+                    state["preds"][ci] += _extend(reader.receive(t), t)
+                    blk[0] = state["preds"][ci] << al
+            elif not refine:
+                state["eobrun"] = _ac_first_block(
+                    reader, blk, ss, se, al, luts[si], state["eobrun"]
+                )
+            else:
+                state["eobrun"] = _ac_refine_block(
+                    reader, blk, ss, se, p1, luts[si], state["eobrun"]
+                )
+    if state["reader"].pos > state["reader"].nbits:
+        raise ValueError("truncated entropy-coded data")
+    return end
+
+
+def _ac_first_block(reader, blk, ss, se, al, ac_lut, eobrun):
+    """AC first scan (Ah=0) for one block; returns the updated EOB run."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huff(ac_lut)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            # EOBn: run of (1<<r)+receive(r) blocks ending here, this
+            # block included
+            return (1 << r) - 1 + (reader.receive(r) if r else 0)
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        extra = reader.receive(s)
+        blk[k] = (
+            extra if extra >= (1 << (s - 1)) else extra - (1 << s) + 1
+        ) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, blk, ss, se, p1, ac_lut, eobrun):
+    """AC refinement scan (Ah>0) for one block — T.81 G.1.2.3: newly
+    significant coefficients arrive as run/1 symbols + sign; coefficients
+    already nonzero receive one correction bit each as the run advances
+    (and through the EOB region). Returns the updated EOB run."""
+    m1 = -p1
+    lst = blk.tolist()
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.huff(ac_lut)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid AC refinement magnitude")
+                newval = p1 if reader.receive(1) else m1
+            elif r != 15:
+                eobrun = (1 << r) + (reader.receive(r) if r else 0)
+                break
+            # advance past r zero-history coefficients (16 for ZRL),
+            # emitting a correction bit at every nonzero-history one
+            while k <= se:
+                c = lst[k]
+                if c:
+                    if reader.receive(1) and (c & p1) == 0:
+                        lst[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                lst[k] = newval
+            k += 1
+    if eobrun:
+        # EOB region covers the rest of this block: correction bits only
+        while k <= se:
+            c = lst[k]
+            if c:
+                if reader.receive(1) and (c & p1) == 0:
+                    lst[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    blk[:] = lst
+    return eobrun
+
+
+# hostile-input bound: real progressive encoders emit ~10 scans; cap far
+# above that so a crafted file cannot force O(scans × blocks) work
+MAX_PROGRESSIVE_SCANS = 64
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline/extended-sequential JFIF bytes → uint8 (H, W) grayscale or
-    (H, W, 3) RGB array."""
+    """Baseline (SOF0), extended-sequential (SOF1), or progressive (SOF2)
+    JFIF bytes → uint8 (H, W) grayscale or (H, W, 3) RGB array."""
     if len(data) < 4 or data[:2] != JPEG_MAGIC:
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], list[int]] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) with comps = [(id, hs, vs, tq)]
+    progressive = False
+    comp_blocks = None
+    comp_bw: list[int] = []
+    mcus_x = mcus_y = 0
+    scans_done = 0
     pos = 2
     while True:
         if pos + 2 > len(data):
@@ -556,6 +1111,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:
+            if progressive and scans_done:
+                break  # EOI: all progressive scans accumulated
             raise ValueError("EOI before SOS (no image data)")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
@@ -600,7 +1157,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if len(body) < 2:
                 raise ValueError("short DRI")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
@@ -618,96 +1177,41 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(f"unsupported sampling {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG mode (SOF{marker - 0xC0}: progressive/"
+                f"unsupported JPEG mode (SOF{marker - 0xC0}: lossless/"
                 "arithmetic/hierarchical)"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
-            break
+            if not body or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated SOS header")
+            if comp_blocks is None:
+                comp_blocks, comp_bw, mcus_x, mcus_y = _alloc_blocks(frame)
+            if progressive:
+                scans_done += 1
+                if scans_done > MAX_PROGRESSIVE_SCANS:
+                    raise ValueError("too many progressive scans")
+                pos = _decode_progressive_scan(
+                    data, seg_end, body, frame, huff, restart_interval,
+                    comp_blocks, comp_bw, mcus_x, mcus_y,
+                )
+                continue
+            h, w, comps = frame
+            _decode_baseline_scan(
+                data, seg_end, body, comps, huff, restart_interval,
+                comp_blocks, comp_bw, mcus_x, mcus_y,
+            )
+            break  # sequential: one scan is the whole image
         # APPn / COM / anything else: skip
         pos = seg_end
 
     h, w, comps = frame
-    ns = body[0]
-    if ns != len(comps):
-        raise ValueError("non-interleaved multi-scan JPEG unsupported")
-    scan_tables = {}
-    for si in range(ns):
-        cid = body[1 + 2 * si]
-        tt = body[2 + 2 * si]
-        scan_tables[cid] = (tt >> 4, tt & 15)
-
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
-
-    # per-component quantized zigzag coefficient store
-    comp_blocks: list[np.ndarray] = []
-    comp_bw: list[int] = []
-    for _cid, hs, vs, _tq in comps:
-        bw, bh = mcus_x * hs, mcus_y * vs
-        comp_blocks.append(np.zeros((bh * bw, 64), dtype=np.int64))
-        comp_bw.append(bw)
-
-    # resolve each component's Huffman LUTs once (they cannot change
-    # mid-scan); undefined-table errors surface before any MCU decodes
-    comp_tabs: list[tuple[list[int], list[int]]] = []
-    for cid, _hs, _vs, _tq in comps:
-        td, ta = scan_tables.get(cid, (0, 0))
-        dc_tab = huff.get((0, td))
-        ac_tab = huff.get((1, ta))
-        if dc_tab is None or ac_tab is None:
-            raise ValueError("scan references undefined DHT")
-        comp_tabs.append((dc_tab, ac_tab))
-
-    segs = _split_entropy(data, seg_end)
-    seg_idx = 0
-    reader = _EntropyReader(segs[0][0])
-    preds = [0] * len(comps)
-    comp_ks: list[list[int]] = [[] for _ in comps]
-    comp_vals: list[list[int]] = [[] for _ in comps]
-    rst_count = 0
-    n_rst = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and rst_count == restart_interval:
-                rst_n = segs[seg_idx][1]
-                if rst_n is None:
-                    raise ValueError("missing restart marker")
-                if rst_n != (n_rst & 7):
-                    raise ValueError("restart marker out of sequence")
-                if reader.pos > reader.nbits:
-                    raise ValueError("truncated entropy-coded data")
-                seg_idx += 1  # _split_entropy guarantees a following seg
-                reader = _EntropyReader(segs[seg_idx][0])
-                n_rst = (n_rst + 1) & 7
-                preds = [0] * len(comps)
-                rst_count = 0
-            rst_count += 1
-            for ci, (_cid, hs, vs, _tq) in enumerate(comps):
-                dc_tab, ac_tab = comp_tabs[ci]
-                ks = comp_ks[ci]
-                vals = comp_vals[ci]
-                bw = comp_bw[ci]
-                for by in range(vs):
-                    base = ((my * vs + by) * bw + mx * hs) * 64
-                    for bx in range(hs):
-                        preds[ci] = reader.decode_block(
-                            dc_tab, ac_tab, preds[ci], ks, vals, base + 64 * bx
-                        )
-    if reader.pos > reader.nbits:
-        raise ValueError("truncated entropy-coded data")
-    for ci in range(len(comps)):
-        if comp_ks[ci]:
-            comp_blocks[ci].reshape(-1)[
-                np.asarray(comp_ks[ci], dtype=np.int64)
-            ] = np.asarray(comp_vals[ci], dtype=np.int64)
 
     # vectorized dequantize + IDCT + plane assembly per component
     planes = []

@@ -209,8 +209,15 @@ def wrap_html_with_font_images(
             container == "jpeg"
             or (container == "mixed" and (seed_base + idx) % 2 == 1)
         )
+        # every other JPEG line ships as SOF2 progressive (the other
+        # dominant wild container): identical quantized coefficients →
+        # identical decoded pixels, so recognition output is unchanged
+        # while the decode seam proves all three container shapes
+        prog = use_jpeg and (seed_base + idx) % 4 == 3
         payload = base64.b64encode(
-            encode_jpeg(raster, quality=95) if use_jpeg else encode_png(raster)
+            encode_jpeg(raster, quality=95, progressive=prog)
+            if use_jpeg
+            else encode_png(raster)
         ).decode("ascii")
         imgs.append(
             f'<img class="embedded-line" data-width="{width * scale}" '

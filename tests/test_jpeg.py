@@ -31,6 +31,14 @@ def _smooth(shape, seed=0):
     return x.astype(np.uint8)
 
 
+
+
+def _smooth_rgb(h, w, seed=0):
+    return np.stack(
+        [_smooth((h, w), seed=seed + c) for c in range(3)], axis=-1
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spec known-answers (external checks on tables + bit packing, not
 # encoder/decoder symmetry)
@@ -253,7 +261,10 @@ def test_hostile_dims_rejected_before_allocation():
         decode_jpeg(bytes(b))
 
 
-def test_progressive_rejected():
+def test_baseline_scan_relabelled_progressive_rejected():
+    """A baseline stream whose SOF0 is flipped to SOF2 carries a single
+    Ss=0..Se=63 scan — an illegal progressive scan script (DC scans must
+    have Se=0, T.81 G.1) — and must be rejected, not misparsed."""
     b = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     sof = bytes(b).index(b"\xff\xc0")
     b[sof + 1] = 0xC2
@@ -310,3 +321,143 @@ def test_truncation_sweep():
             decode_jpeg(src[:cut])
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — encoder scan script + decoder scan accumulation
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("quality", [50, 75, 90, 95])
+@pytest.mark.parametrize("shape", [(8, 8), (17, 23), (40, 33), (17, 23, 3)])
+def test_progressive_pixels_identical_to_baseline(shape, quality):
+    """Same quantized coefficients, two containers: the progressive script
+    (DC first Al=1, spectrally-split AC first Al=1, DC+AC refinement to
+    Al=0) must reconstruct byte-identical pixels to the baseline encoding
+    of the same image at the same quality."""
+    if len(shape) == 3:
+        img = _smooth_rgb(shape[0], shape[1], seed=sum(shape) + quality)
+    else:
+        img = _smooth(shape, seed=sum(shape) + quality)
+    prog = decode_jpeg(encode_jpeg(img, quality=quality, progressive=True))
+    base = decode_jpeg(encode_jpeg(img, quality=quality, progressive=False))
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_noise_stress_eobrun_correction_interleave():
+    """Pure-noise blocks maximize the interaction between EOB runs and
+    buffered correction bits in the AC refinement scans (regression: a
+    single shared bit buffer flushed current-block correction bits before
+    the symbol they must follow, desyncing every noisy decode)."""
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        q = [50, 75, 90][trial % 3]
+        prog = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+        base = decode_jpeg(encode_jpeg(img, quality=q, progressive=False))
+        assert np.array_equal(prog, base)
+
+
+def test_progressive_scan_script_shape():
+    """Gray: 6 SOS (DC first, 2 spectral AC first, DC refine, 2 AC
+    refine). RGB 4:4:4: 10 SOS (chroma gets a full-band AC scan each)."""
+    g = encode_jpeg(_smooth((16, 16)), progressive=True)
+    assert g.count(b"\xff\xc2") >= 1 and b"\xff\xc0" not in g[:200]
+    assert g.count(b"\xff\xda") == 6
+    c = encode_jpeg(_smooth_rgb(16, 16), progressive=True)
+    assert c.count(b"\xff\xda") == 10
+
+
+def test_progressive_jpeg_dims_header_only():
+    b = encode_jpeg(_smooth_rgb(19, 31), progressive=True)
+    assert jpeg_dims(b) == (31, 19, 3)
+
+
+def test_progressive_gray_float_seam():
+    img = _smooth((24, 24), seed=4)
+    b = encode_jpeg(img, quality=90, progressive=True)
+    f = jpeg_to_gray_float(b)
+    assert f.shape == (24, 24) and f.dtype == np.float32
+    assert np.abs(f * 255.0 - img.astype(np.float64)).max() <= 24
+
+
+def test_progressive_truncation_sweep():
+    src = encode_jpeg(_smooth((8, 24), seed=2), progressive=True)
+    for cut in range(2, len(src), 11):
+        try:
+            decode_jpeg(src[:cut])
+        except ValueError:
+            pass
+
+
+def test_progressive_fuzz_single_byte_corruption():
+    src = encode_jpeg(_smooth((16, 16), seed=9), quality=85, progressive=True)
+    rng = np.random.default_rng(17)
+    for _ in range(120):
+        pos = int(rng.integers(0, len(src)))
+        b = bytearray(src)
+        b[pos] = int(rng.integers(0, 256))
+        try:
+            out = decode_jpeg(bytes(b))
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
+
+
+def test_progressive_restart_markers_decode():
+    """Hand-built progressive gray 8x48 with DRI=2: every scan's entropy
+    data is split by RST markers each 2 units (MCUs for the DC scan,
+    blocks for AC scans), with DC predictors and EOB runs reset at each
+    boundary — a foreign shape (e.g. mozjpeg with restarts) the in-repo
+    encoder never emits."""
+    x = _smooth((8, 48), seed=21)
+    ql = J._scale_quant(J._QUANT_LUMA, 90)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(v) for v in ql[J._ZZ]
+    )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 48, 1) + bytes(
+        [1, 0x11, 0]
+    )
+
+    def dht(cls, tid, bits, vals):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    out += dht(1, 0, J._PROG_AC_BITS, J._PROG_AC_VALS)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 2)
+    dc = [J._build_codes(J._DC_LUMA_BITS, J._DC_LUMA_VALS)]
+    ac = J._build_codes(J._PROG_AC_BITS, J._PROG_AC_VALS)
+    zz = J._plane_to_zz(x.astype(np.float64) - 128.0, ql)
+
+    def sos(ss, se, ah, al):
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [1, 0x00, ss, se, (ah << 4) | al]
+        )
+
+    def scan(enc):
+        nonlocal out
+        n_rst = 0
+        for g in range(3):  # 6 blocks, restart every 2
+            writer = J._BitWriter()
+            enc(writer, zz[g * 2 : g * 2 + 2])
+            out += writer.flush()
+            if g < 2:
+                out += bytes([0xFF, 0xD0 + (n_rst & 7)])
+                n_rst += 1
+
+    out += sos(0, 0, 0, 1)
+    scan(lambda w, z: J._enc_dc_first(w, [z], dc, 1))
+    out += sos(1, 63, 0, 1)
+    scan(lambda w, z: J._enc_ac_first(w, z, 1, 63, 1, ac))
+    out += sos(0, 0, 1, 0)
+    scan(lambda w, z: J._enc_dc_refine(w, [z], 0))
+    out += sos(1, 63, 1, 0)
+    scan(lambda w, z: J._enc_ac_refine(w, z, 1, 63, 0, ac))
+    out += b"\xff\xd9"
+
+    y = decode_jpeg(bytes(out))
+    base = decode_jpeg(encode_jpeg(x, quality=90, progressive=False))
+    assert np.array_equal(y, base)
