@@ -461,3 +461,183 @@ def test_progressive_restart_markers_decode():
     y = decode_jpeg(bytes(out))
     base = decode_jpeg(encode_jpeg(x, quality=90, progressive=False))
     assert np.array_equal(y, base)
+
+
+def test_420_progressive_decodes_like_420_baseline():
+    """Hand-built 4:2:0 progressive 32x16 (2 MCUs): interleaved DC scans
+    carry FOUR luma blocks per MCU plus one Cb/Cr each, AC scans walk
+    each component's own raster block grid — subsampled + SOF2, the
+    single most common shape in real web crawls. Must decode pixel-
+    identical to a baseline 4:2:0 stream built from the same quantized
+    coefficients."""
+    H, W = 16, 32
+    yp = _smooth((H, W), seed=31).astype(np.float64)
+    cbp = np.full((H // 2, W // 2), 90.0)
+    crp = np.full((H // 2, W // 2), 170.0)
+    ql = J._scale_quant(J._QUANT_LUMA, 90)
+    qc = J._scale_quant(J._QUANT_CHROMA, 90)
+    yzz = J._plane_to_zz(yp - 128.0, ql)          # 2x4 blocks raster
+    cbzz = J._plane_to_zz(cbp - 128.0, qc)        # 1x2 blocks
+    crzz = J._plane_to_zz(crp - 128.0, qc)
+
+    def headers(sof_marker):
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+            int(v) for v in ql[J._ZZ]
+        )
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 1) + bytes(
+            int(v) for v in qc[J._ZZ]
+        )
+        sof = struct.pack(">BHHB", 8, H, W, 3)
+        sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+        out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+        return out
+
+    def dht(cls, tid, bits, vals):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    # --- baseline reference stream ---
+    base = headers(b"\xff\xc0")
+    base += dht(0, 0, J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    base += dht(1, 0, J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    base += dht(0, 1, J._DC_CHROMA_BITS, J._DC_CHROMA_VALS)
+    base += dht(1, 1, J._AC_CHROMA_BITS, J._AC_CHROMA_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    base += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    dc_l = J._build_codes(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    ac_l = J._build_codes(J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    dc_c = J._build_codes(J._DC_CHROMA_BITS, J._DC_CHROMA_VALS)
+    ac_c = J._build_codes(J._AC_CHROMA_BITS, J._AC_CHROMA_VALS)
+    bw = W // 8  # luma blocks per row
+    writer = J._BitWriter()
+    preds = [0, 0, 0]
+    for mx in range(2):
+        for by in range(2):
+            for bx in range(2):
+                preds[0] = J._encode_blocks(
+                    writer, yzz[by * bw + mx * 2 + bx][None, :],
+                    dc_l, ac_l, preds[0],
+                )
+        preds[1] = J._encode_blocks(writer, cbzz[mx][None, :], dc_c, ac_c, preds[1])
+        preds[2] = J._encode_blocks(writer, crzz[mx][None, :], dc_c, ac_c, preds[2])
+    base += writer.flush() + b"\xff\xd9"
+
+    # --- progressive stream, same coefficients ---
+    prog = headers(b"\xff\xc2")
+    prog += dht(0, 0, J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    prog += dht(0, 1, J._DC_CHROMA_BITS, J._DC_CHROMA_VALS)
+    prog += dht(1, 0, J._PROG_AC_BITS, J._PROG_AC_VALS)
+    ac_p = J._build_codes(J._PROG_AC_BITS, J._PROG_AC_VALS)
+
+    def sos_seg(comps, ss, se, ah, al):
+        body = bytes([len(comps)])
+        for cid, td, ta in comps:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def cat(v):
+        n = abs(v).bit_length()
+        return n, (v if v >= 0 else v + (1 << n) - 1) & ((1 << n) - 1)
+
+    # DC first (interleaved, Al=1): MCU order, luma 4 blocks then Cb, Cr
+    prog += sos_seg([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+    writer = J._BitWriter()
+    preds = [0, 0, 0]
+    for mx in range(2):
+        order = [(0, by * bw + mx * 2 + bx) for by in range(2) for bx in range(2)]
+        order += [(1, mx), (2, mx)]
+        for ci, idx in order:
+            zz = (yzz, cbzz, crzz)[ci]
+            v = int(zz[idx][0]) >> 1
+            n, extra = cat(v - preds[ci])
+            preds[ci] = v
+            code, ln = (dc_l, dc_c, dc_c)[ci][n]
+            writer.write(code, ln)
+            if n:
+                writer.write(extra, n)
+    prog += writer.flush()
+    # AC first (Al=1) then both refinements down to Al=0
+    for cid, zz in [(1, yzz), (2, cbzz), (3, crzz)]:
+        prog += sos_seg([(cid, 0, 0)], 1, 63, 0, 1)
+        writer = J._BitWriter()
+        J._enc_ac_first(writer, zz, 1, 63, 1, ac_p)
+        prog += writer.flush()
+    prog += sos_seg([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0)
+    writer = J._BitWriter()
+    for mx in range(2):
+        order = [(0, by * bw + mx * 2 + bx) for by in range(2) for bx in range(2)]
+        order += [(1, mx), (2, mx)]
+        for ci, idx in order:
+            zz = (yzz, cbzz, crzz)[ci]
+            writer.write(int(zz[idx][0]) & 1, 1)
+    prog += writer.flush()
+    for cid, zz in [(1, yzz), (2, cbzz), (3, crzz)]:
+        prog += sos_seg([(cid, 0, 0)], 1, 63, 1, 0)
+        writer = J._BitWriter()
+        J._enc_ac_refine(writer, zz, 1, 63, 0, ac_p)
+        prog += writer.flush()
+    prog += b"\xff\xd9"
+
+    a = decode_jpeg(bytes(base))
+    b = decode_jpeg(bytes(prog))
+    assert a.shape == (H, W, 3)
+    assert np.array_equal(a, b)
+
+
+def test_422_subsampled_decodes():
+    """Hand-built 4:2:2 YCbCr 16x16 (hs=2, vs=1: two luma blocks side by
+    side per MCU, chroma halved horizontally only) — the other common
+    camera/web subsampling. Constant chroma makes the horizontal
+    replication upsample exact."""
+    y_val, cb_val, cr_val = 120, 100, 150
+    ql = J._scale_quant(J._QUANT_LUMA, 90)
+    qc = J._scale_quant(J._QUANT_CHROMA, 90)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(v) for v in ql[J._ZZ]
+    )
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 1) + bytes(
+        int(v) for v in qc[J._ZZ]
+    )
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x21, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, bits, vals):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    out += dht(1, 0, J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    out += dht(0, 1, J._DC_CHROMA_BITS, J._DC_CHROMA_VALS)
+    out += dht(1, 1, J._AC_CHROMA_BITS, J._AC_CHROMA_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_l = J._build_codes(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    ac_l = J._build_codes(J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    dc_c = J._build_codes(J._DC_CHROMA_BITS, J._DC_CHROMA_VALS)
+    ac_c = J._build_codes(J._AC_CHROMA_BITS, J._AC_CHROMA_VALS)
+    yzz = J._plane_to_zz(np.full((16, 16), y_val, np.float64) - 128.0, ql)
+    cbzz = J._plane_to_zz(np.full((16, 8), cb_val, np.float64) - 128.0, qc)
+    crzz = J._plane_to_zz(np.full((16, 8), cr_val, np.float64) - 128.0, qc)
+    writer = J._BitWriter()
+    preds = [0, 0, 0]
+    for my in range(2):  # MCU rows: luma blocks (my, 0..1), chroma (my)
+        for bx in range(2):
+            preds[0] = J._encode_blocks(
+                writer, yzz[my * 2 + bx][None, :], dc_l, ac_l, preds[0]
+            )
+        preds[1] = J._encode_blocks(writer, cbzz[my][None, :], dc_c, ac_c, preds[1])
+        preds[2] = J._encode_blocks(writer, crzz[my][None, :], dc_c, ac_c, preds[2])
+    out += writer.flush() + b"\xff\xd9"
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (16, 16, 3)
+    r = y_val + 1.402 * (cr_val - 128)
+    g = y_val - 0.344136 * (cb_val - 128) - 0.714136 * (cr_val - 128)
+    b = y_val + 1.772 * (cb_val - 128)
+    want = np.round([r, g, b])
+    assert np.abs(img.astype(float) - want).max() <= 3
