@@ -13,14 +13,19 @@ engine carries its own ITU T.81 baseline implementation:
   tables scaled by the libjpeg quality formula, Annex-K Huffman tables,
   2-D DCT via the orthonormal matrix form (exactly the T.81 normalization:
   a uniform block's DC coefficient is ``8 * (v - 128)``).
-- ``decode_jpeg``: baseline sequential (SOF0) and extended sequential
-  (SOF1) scans from ANY conforming encoder — 8/16-bit DQT, multiple DHT
-  segments, restart intervals (DRI/RSTn), component sampling factors 1–2
-  with replication upsampling (so 4:2:0 / 4:2:2 files from real encoders
-  decode), grayscale and YCbCr. Progressive (SOF2), arithmetic coding,
-  and hierarchical modes raise ``ValueError`` — the callers'
-  malformed-payload discipline turns that into a row skip, never a task
-  crash (same contract as ``kernels.png``).
+- ``decode_jpeg``: baseline sequential (SOF0), extended sequential
+  (SOF1) AND progressive (SOF2) streams from ANY conforming encoder —
+  8/16-bit DQT, multiple DHT segments, restart intervals (DRI/RSTn),
+  component sampling factors 1–2 with replication upsampling (so
+  4:2:0 / 4:2:2 files from real encoders decode), progressive scan
+  accumulation (DC/AC first + refinement scans, spectral bands,
+  successive approximation, EOB runs, the T.81 G.1.2.3 correction-bit
+  protocol), grayscale, YCbCr, Adobe APP14 direct-RGB (transform 0),
+  and 4-component CMYK/YCCK (Adobe inverted convention; bare
+  no-APP14 CMYK taken non-inverted). Arithmetic coding, 12-bit
+  precision, lossless and hierarchical modes raise ``ValueError`` —
+  the callers' malformed-payload discipline turns that into a row
+  skip, never a task crash (same contract as ``kernels.png``).
 - ``jpeg_dims``: header-only SOFn scan — dimensions come from the
   container bytes, never from advisory metadata.
 
@@ -1102,6 +1107,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comp_bw: list[int] = []
     mcus_x = mcus_y = 0
     scans_done = 0
+    adobe_transform = None  # APP14 color-transform byte (Adobe exports)
     pos = 2
     while True:
         if pos + 2 > len(data):
@@ -1157,13 +1163,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if len(body) < 2:
                 raise ValueError("short DRI")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xEE:  # APP14: Adobe color-transform declaration
+            if len(body) >= 12 and body[:5] == b"Adobe":
+                adobe_transform = body[11]
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             if frame is not None:
                 raise ValueError("multiple SOF markers")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise ValueError(f"unsupported component count {ncomp}")
             if h < 1 or w < 1 or h * w > MAX_DECODE_PIXELS:
                 raise ValueError(f"refusing {w}x{h} raster (hostile header?)")
@@ -1240,13 +1249,41 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     if len(planes) == 1:
         return planes[0]
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=2)
+
+    def ycc_to_rgb(p0, p1, p2):
+        y = p0.astype(np.float64)
+        cb = p1.astype(np.float64) - 128.0
+        cr = p2.astype(np.float64) - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255)
+
+    if len(planes) == 3:
+        # APP14 transform 0 declares the samples are stored RGB directly
+        # (Photoshop "save as JPEG" of RGB data); component IDs R/G/B are
+        # the no-APP14 spelling of the same (libjpeg's heuristic). All
+        # other 3-component streams are YCbCr.
+        cids = [c[0] for c in comps]
+        if adobe_transform == 0 or (
+            adobe_transform is None and cids == [0x52, 0x47, 0x42]
+        ):
+            return np.stack(planes, axis=2)
+        return ycc_to_rgb(*planes).astype(np.uint8)
+
+    # 4 components: Adobe CMYK (transform 0/absent-with-APP14) or YCCK
+    # (transform 2). Adobe stores CMYK INVERTED (the famous convention);
+    # a bare 4-component stream with no APP14 is taken as plain CMYK.
+    if adobe_transform == 2:
+        cmy = ycc_to_rgb(planes[0], planes[1], planes[2])  # inverted CMY
+        c, m, ye = cmy[:, :, 0], cmy[:, :, 1], cmy[:, :, 2]
+        k = planes[3].astype(np.float64)
+    else:
+        c, m, ye, k = (p.astype(np.float64) for p in planes)
+        if adobe_transform is None:
+            c, m, ye, k = 255.0 - c, 255.0 - m, 255.0 - ye, 255.0 - k
+    # inverted-domain multiply: R = (1-C)(1-K)·255 with c' = 255-C etc.
+    rgb = np.stack([c * k, m * k, ye * k], axis=2) / 255.0
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 

@@ -641,3 +641,140 @@ def test_422_subsampled_decodes():
     b = y_val + 1.772 * (cb_val - 128)
     want = np.round([r, g, b])
     assert np.abs(img.astype(float) - want).max() <= 3
+
+
+# ---------------------------------------------------------------------------
+# Adobe APP14 color transforms: direct RGB, CMYK, YCCK
+# ---------------------------------------------------------------------------
+
+
+def _multi_comp_stream(planes, cids, app14_transform=None, quality=90):
+    """Hand-build a 1x1-sampled multi-component SOF0 stream (luma DQT/DHT
+    for every component) from uint8 planes, optionally with an Adobe
+    APP14 declaring a color transform."""
+    q = J._scale_quant(J._QUANT_LUMA, quality)
+    out = bytearray(b"\xff\xd8")
+    if app14_transform is not None:
+        body = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, app14_transform)
+        out += b"\xff\xee" + struct.pack(">H", 2 + len(body)) + body
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(v) for v in q[J._ZZ]
+    )
+    h, w = planes[0].shape
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for cid in cids:
+        sof += bytes([cid, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(cls, tid, bits, vals):
+        body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    out += dht(1, 0, J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    sos = bytes([len(planes)]) + b"".join(
+        bytes([cid, 0x00]) for cid in cids
+    ) + bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    dc = J._build_codes(J._DC_LUMA_BITS, J._DC_LUMA_VALS)
+    ac = J._build_codes(J._AC_LUMA_BITS, J._AC_LUMA_VALS)
+    zzs = [J._plane_to_zz(p.astype(np.float64) - 128.0, q) for p in planes]
+    writer = J._BitWriter()
+    preds = [0] * len(planes)
+    for i in range(len(zzs[0])):
+        for ci, zz in enumerate(zzs):
+            preds[ci] = J._encode_blocks(writer, zz[i][None, :], dc, ac, preds[ci])
+    out += writer.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def _block_uniform(vals, h=8, w=24):
+    """Per-8x8-block-uniform plane (DC-only -> exact at q90)."""
+    vals = np.asarray(vals, dtype=np.uint8).reshape(h // 8, w // 8)
+    return vals.repeat(8, axis=0).repeat(8, axis=1)
+
+
+def test_app14_direct_rgb_not_ycc_converted():
+    """Photoshop RGB exports carry APP14 transform=0: samples are RGB
+    already and must NOT run through the YCbCr matrix."""
+    r = _block_uniform([200, 40, 120])
+    g = _block_uniform([30, 160, 90])
+    b = _block_uniform([70, 220, 10])
+    stream = _multi_comp_stream([r, g, b], [1, 2, 3], app14_transform=0)
+    img = decode_jpeg(stream)
+    assert np.array_equal(img, np.stack([r, g, b], axis=2))
+
+
+def test_rgb_component_ids_heuristic():
+    """No APP14, but component IDs spell 'R','G','B' — libjpeg's
+    heuristic for direct-RGB streams."""
+    r = _block_uniform([10, 250, 128])
+    g = _block_uniform([99, 1, 200])
+    b = _block_uniform([55, 66, 77])
+    stream = _multi_comp_stream([r, g, b], [0x52, 0x47, 0x42])
+    img = decode_jpeg(stream)
+    assert np.array_equal(img, np.stack([r, g, b], axis=2))
+
+
+def test_adobe_cmyk_inverted_convention():
+    """4-component Adobe CMYK (transform 0): samples stored INVERTED, so
+    RGB = stored_c*stored_k/255 per channel."""
+    c = _block_uniform([250, 100, 0])
+    m = _block_uniform([200, 50, 255])
+    ye = _block_uniform([150, 0, 30])
+    k = _block_uniform([255, 200, 100])
+    stream = _multi_comp_stream([c, m, ye, k], [1, 2, 3, 4], app14_transform=0)
+    img = decode_jpeg(stream)
+    want = np.stack(
+        [
+            np.round(c.astype(float) * k / 255.0),
+            np.round(m.astype(float) * k / 255.0),
+            np.round(ye.astype(float) * k / 255.0),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    assert img.shape == (8, 24, 3)
+    assert np.array_equal(img, want)
+
+
+def test_bare_cmyk_not_inverted():
+    """4 components with NO APP14: plain CMYK — invert before the
+    multiply (C=0,K=0 must be white, C=255 full cyan)."""
+    c = _block_uniform([0, 255, 128])
+    m = _block_uniform([0, 0, 0])
+    ye = _block_uniform([0, 0, 0])
+    k = _block_uniform([0, 0, 0])
+    img = decode_jpeg(_multi_comp_stream([c, m, ye, k], [1, 2, 3, 4]))
+    assert tuple(img[0, 0]) == (255, 255, 255)       # no ink -> white
+    assert tuple(img[0, 8]) == (0, 255, 255)         # full cyan
+    assert tuple(img[0, 16]) == (127, 255, 255)      # half cyan
+    assert img.shape == (8, 24, 3)
+
+
+def test_ycck_transform():
+    """YCCK (transform 2): first three channels are YCbCr over the
+    inverted CMY; constant planes -> exact matrix check within quant
+    error."""
+    cy, cb, cr = 180, 100, 140
+    kv = 220
+    y_p = _block_uniform([cy] * 3)
+    cb_p = _block_uniform([cb] * 3)
+    cr_p = _block_uniform([cr] * 3)
+    k_p = _block_uniform([kv] * 3)
+    stream = _multi_comp_stream(
+        [y_p, cb_p, cr_p, k_p], [1, 2, 3, 4], app14_transform=2
+    )
+    img = decode_jpeg(stream)
+    c = min(max(round(cy + 1.402 * (cr - 128)), 0), 255)
+    m = min(max(round(cy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0), 255)
+    ye = min(max(round(cy + 1.772 * (cb - 128)), 0), 255)
+    want = (round(c * kv / 255), round(m * kv / 255), round(ye * kv / 255))
+    assert np.abs(img[0, 0].astype(int) - np.array(want)).max() <= 3
+
+
+def test_cmyk_jpeg_dims():
+    c = _block_uniform([1, 2, 3])
+    stream = _multi_comp_stream([c, c, c, c], [1, 2, 3, 4], app14_transform=0)
+    assert jpeg_dims(stream) == (24, 8, 4)
+    g = jpeg_to_gray_float(stream)
+    assert g.shape == (8, 24) and g.dtype == np.float32
