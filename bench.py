@@ -73,16 +73,28 @@ def main() -> None:
     # imports) that best-of-2 cannot amortize — dedup_lsh measured 7.5 s
     # cold vs 1.4 s steady-state on identical code. Steady-state is what
     # a long-running 100-TB job actually sees.
+    # Adaptive reps: a long shared bench session exposes queries to
+    # transient interference (GC pauses, noisy-neighbor bursts, page-cache
+    # evictions) that a fixed best-of-2 records as a 5-10x phantom
+    # regression (round-2/3 postmortems, BASELINE.md). Keep re-running
+    # until the two fastest reps agree within 20% — steady state reached —
+    # or the rep cap; the recorded best is then an agreed measurement,
+    # not a lucky (or unlucky) draw.
+    max_reps = max(args.reps, 5)
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
         qmap[name](spark, args.sf_dir).count()  # warm-up, untimed
-        best = float("inf")
-        for _ in range(max(args.reps, 1)):
+        times: list[float] = []
+        for _ in range(max_reps):
             t0 = time.monotonic()
             rows[name] = qmap[name](spark, args.sf_dir).count()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.monotonic() - t0)
+            if len(times) >= max(args.reps, 2):
+                a, b = sorted(times)[:2]
+                if b <= a * 1.2:
+                    break
+        timings[name] = round(min(times), 3)
 
     n_docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
     extract_sec = timings.get("extract_html", float("nan"))
