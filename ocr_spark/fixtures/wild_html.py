@@ -508,4 +508,147 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         </body>""",
         "The harbour master confirmed that the channel will be dredged to nine metres, allowing the larger ferries to berth at all tide states.",
     ),
+    (
+        42,
+        "live-blog: timestamped updates are content, refresh chrome is not",
+        """<body>
+        <div class="banner live">LIVE <button>Auto-refresh</button></div>
+        <main><article>
+        <h1>Storm response: rolling updates</h1>
+        <p>14:02 Crews have restored power to the eastern grid and are moving to the coastal substations next, the utility said.</p>
+        <p>13:41 The harbour road reopened to buses after engineers cleared the fallen crane from the intersection.</p>
+        <p>13:15 Emergency services asked residents to stay off the waterfront promenade until the surge barrier is inspected.</p>
+        </article></main>
+        <div class="widget updates-loading">Checking for new updates…</div>
+        </body>""",
+        "Storm response: rolling updates\n\n"
+        "14:02 Crews have restored power to the eastern grid and are moving to the coastal substations next, the utility said.\n\n"
+        "13:41 The harbour road reopened to buses after engineers cleared the fallen crane from the intersection.\n\n"
+        "13:15 Emergency services asked residents to stay off the waterfront promenade until the surge barrier is inspected.",
+    ),
+    (
+        43,
+        "FAQ accordion: summary questions and answers are both content",
+        """<body>
+        <nav class="menu"><a href="/">Home</a><a href="/pricing">Pricing</a><a href="/faq">FAQ</a></nav>
+        <main class="content">
+        <h2>Frequently asked questions</h2>
+        <details><summary>How is usage metered?</summary>
+        <p>Usage is metered per processed document, rounded up to the nearest thousand, and idle sessions are never billed.</p></details>
+        <details><summary>Can I export my data?</summary>
+        <p>Exports are available at any time as partitioned parquet files, and we keep them downloadable for thirty days.</p></details>
+        </main>
+        <footer><a href="/terms">Terms</a><a href="/privacy">Privacy</a></footer>
+        </body>""",
+        "Frequently asked questions\n\n"
+        "How is usage metered?\n\n"
+        "Usage is metered per processed document, rounded up to the nearest thousand, and idle sessions are never billed.\n\n"
+        "Can I export my data?\n\n"
+        "Exports are available at any time as partitioned parquet files, and we keep them downloadable for thirty days.",
+    ),
+    (
+        44,
+        "dictionary entry: definition list is content, pronunciation widget is not",
+        """<body>
+        <header class="masthead"><a href="/">Wordbook</a></header>
+        <main><article>
+        <h1>petrichor</h1>
+        <div class="widget pronounce"><button>Play</button> /ˈpɛtrɪkɔːr/</div>
+        <dl>
+        <dt>noun</dt>
+        <dd>The pleasant, earthy smell that accompanies the first rain after a long period of warm, dry weather.</dd>
+        <dt>origin</dt>
+        <dd>Coined in the 1960s from the Greek petra, meaning stone, and ichor, the fluid said to flow in the veins of the gods.</dd>
+        </dl>
+        </article></main>
+        <aside class="related"><a href="/word/geosmin">geosmin</a><a href="/word/loam">loam</a></aside>
+        </body>""",
+        "petrichor\n\n"
+        "noun\n\n"
+        "The pleasant, earthy smell that accompanies the first rain after a long period of warm, dry weather.\n\n"
+        "origin\n\n"
+        "Coined in the 1960s from the Greek petra, meaning stone, and ichor, the fluid said to flow in the veins of the gods.",
+    ),
+    (
+        45,
+        "video page: transcript is content, player chrome is not",
+        """<body>
+        <div class="player widget">
+          <button>Play</button><button>Mute</button><span>04:12 / 18:30</span>
+          <div class="loading spinner">Buffering…</div>
+        </div>
+        <main><article>
+        <h2>Interview transcript: building the new observatory</h2>
+        <p>We started with the mirror because everything else in the budget flows from its diameter, and a metre more glass doubles the dome.</p>
+        <p>The site was chosen for its two hundred clear nights a year, which matters more than altitude once you pass two thousand metres.</p>
+        </article></main>
+        <div class="related-videos related"><a href="/v/2">Next: polishing the mirror</a></div>
+        </body>""",
+        "Interview transcript: building the new observatory\n\n"
+        "We started with the mirror because everything else in the budget flows from its diameter, and a metre more glass doubles the dome.\n\n"
+        "The site was chosen for its two hundred clear nights a year, which matters more than altitude once you pass two thousand metres.",
+    ),
+    (
+        46,
+        "paginated article: page body is content, pagination rail is not",
+        """<body>
+        <main><article>
+        <p>By the second winter the expedition had learned to read the ice, and the diary entries turn from fear to a kind of professional calm.</p>
+        <p>Supplies cached the previous autumn were found intact, which the captain credits for the party's unbroken health through the darkest months.</p>
+        </article></main>
+        <nav class="pagination"><a href="/story?page=1">Previous</a><span>Page 2 of 3</span><a href="/story?page=3">Next</a></nav>
+        <footer>&copy; 2025 The Archive <a href="/about">About</a></footer>
+        </body>""",
+        "By the second winter the expedition had learned to read the ice, and the diary entries turn from fear to a kind of professional calm.\n\n"
+        "Supplies cached the previous autumn were found intact, which the captain credits for the party's unbroken health through the darkest months.",
+    ),
+    (
+        47,
+        "press release: body kept, media-contact and about boilerplate stripped",
+        """<body>
+        <main><article>
+        <h1>Meridian Labs opens its fourth fabrication line</h1>
+        <p>The new line doubles wafer capacity and is the first to run entirely on the plant's own solar and storage microgrid.</p>
+        <p>Production begins in June, with the first customer shipments scheduled before the end of the quarter.</p>
+        </article></main>
+        <aside class="about boilerplate"><h4>About Meridian Labs</h4><p>Meridian Labs is a leading provider of photonic components with offices worldwide.</p></aside>
+        <footer class="contact">Media contact: press@example.com, +1 555 0100</footer>
+        </body>""",
+        "Meridian Labs opens its fourth fabrication line\n\n"
+        "The new line doubles wafer capacity and is the first to run entirely on the plant's own solar and storage microgrid.\n\n"
+        "Production begins in June, with the first customer shipments scheduled before the end of the quarter.",
+    ),
+    (
+        48,
+        "soft-404: apology text is the page's content, search chrome is not",
+        """<body>
+        <header class="site-header"><a href="/">News Home</a></header>
+        <main class="content">
+        <h1>We can't find that page</h1>
+        <p>The article you followed may have been moved to our new archive, or the link you used may be out of date.</p>
+        <p>Try searching for the headline, or browse today's front page for the latest coverage.</p>
+        <form action="/search"><input name="q"><button>Search</button></form>
+        </main>
+        <footer><a href="/sitemap">Sitemap</a></footer>
+        </body>""",
+        "We can't find that page\n\n"
+        "The article you followed may have been moved to our new archive, or the link you used may be out of date.\n\n"
+        "Try searching for the headline, or browse today's front page for the latest coverage.",
+    ),
+    (
+        49,
+        "academic abstract: abstract and keywords kept, citation widget stripped",
+        """<body>
+        <main><article>
+        <h1>Streaming deduplication of web corpora at trillion-document scale</h1>
+        <p>Abstract. We present a banded signature scheme whose recall is guaranteed by a pigeonhole argument rather than tuned empirically, and show that candidate verification dominates total cost only below one duplicate per thousand documents.</p>
+        <p>Keywords: deduplication, minhash, web corpora, distributed systems.</p>
+        </article></main>
+        <div class="widget cite-export"><button>BibTeX</button><button>RIS</button><button>EndNote</button></div>
+        <aside class="related"><h4>Related articles</h4><a href="/p/77">Sharded suffix arrays</a></aside>
+        </body>""",
+        "Streaming deduplication of web corpora at trillion-document scale\n\n"
+        "Abstract. We present a banded signature scheme whose recall is guaranteed by a pigeonhole argument rather than tuned empirically, and show that candidate verification dominates total cost only below one duplicate per thousand documents.\n\n"
+        "Keywords: deduplication, minhash, web corpora, distributed systems.",
+    ),
 ]

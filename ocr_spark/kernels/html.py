@@ -54,10 +54,16 @@ _DROP_TAGS = frozenset(
 # Hard-negative containers: ancestry in one of these zeroes the score.
 _NEGATIVE_TAGS = frozenset("nav footer header aside form button select option".split())
 # Block-level containers: closing one emits a node row from its direct text.
+# The sectioning negatives (nav/footer/header/aside/form) are block
+# containers too: their direct text must become a hard-negative row of
+# their own, never merge into an ancestor block — a long linkless footer
+# line ("Media contact: …") would otherwise ride into <body>'s direct text
+# and leak past the link-density gate (wild case 47).
 _BLOCK_TAGS = frozenset(
     (
         "p div article section main li td th h1 h2 h3 h4 h5 h6 pre blockquote "
-        "figcaption ul ol table tr dd dt summary details body"
+        "figcaption ul ol table tr dd dt summary details body "
+        "nav footer header aside form"
     ).split()
 )
 # Void elements — never pushed on the stack.
@@ -414,7 +420,16 @@ def extract_main_text(
         while True:
             prev_same = np.zeros_like(keep)
             next_same = np.zeros_like(keep)
-            same_prev = (tags_a[1:] == tags_a[:-1]) & (depths[1:] == depths[:-1])
+            # Same tag at the same depth — or a definition-list partner:
+            # <dt>/<dd> at one depth are a single content unit (readability
+            # keeps whole <dl>s), so a short link-free term rides with its
+            # kept definition even though the tags differ.
+            pair_a, pair_b = tags_a[1:], tags_a[:-1]
+            same_tag = pair_a == pair_b
+            dl_pair = ((pair_a == "dt") & (pair_b == "dd")) | (
+                (pair_a == "dd") & (pair_b == "dt")
+            )
+            same_prev = (same_tag | dl_pair) & (depths[1:] == depths[:-1])
             prev_same[1:] = keep[:-1] & same_prev
             next_same[:-1] = keep[1:] & same_prev
             rescued = cand & (prev_same | next_same)
