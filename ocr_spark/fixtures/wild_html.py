@@ -651,4 +651,33 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "Abstract. We present a banded signature scheme whose recall is guaranteed by a pigeonhole argument rather than tuned empirically, and show that candidate verification dominates total cost only below one duplicate per thousand documents.\n\n"
         "Keywords: deduplication, minhash, web corpora, distributed systems.",
     ),
+    (
+        50,
+        "HTML5 article header holds the headline, article footer holds tag chrome",
+        """<body>
+        <main><article>
+        <header><h1>Glacier survey finds record summer melt</h1></header>
+        <p>Field teams measured a four-metre loss of surface ice on the central plateau, the largest single-season drop in the forty-year record.</p>
+        <p>The survey attributes two thirds of the loss to the heat dome in July and the rest to reduced winter snowfall.</p>
+        <footer>Filed under: <a href="/t/climate">Climate</a> <a href="/t/science">Science</a></footer>
+        </article></main>
+        </body>""",
+        "Glacier survey finds record summer melt\n\n"
+        "Field teams measured a four-metre loss of surface ice on the central plateau, the largest single-season drop in the forty-year record.\n\n"
+        "The survey attributes two thirds of the loss to the heat dome in July and the rest to reduced winter snowfall.",
+    ),
+    (
+        51,
+        "page masthead header stripped, article-scoped header kept, same document",
+        """<body>
+        <header class="masthead"><a href="/">The Daily Ledger</a> Independent reporting since 1994</header>
+        <main><article>
+        <header><h2>Council approves the riverfront housing plan</h2></header>
+        <p>The vote passed seven to two after a four-hour session, clearing the way for twelve hundred homes on the former rail yard.</p>
+        </article></main>
+        <footer>Contact the newsroom at tips@example.org or call the desk after nine.</footer>
+        </body>""",
+        "Council approves the riverfront housing plan\n\n"
+        "The vote passed seven to two after a four-hour session, clearing the way for twelve hundred homes on the former rail yard.",
+    ),
 ]

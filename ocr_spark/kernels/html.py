@@ -116,6 +116,7 @@ class _Block:
 class _Elem:
     tag: str
     neg_bump: bool
+    content_bump: bool
     drop: bool
     is_block: bool
     is_a: bool
@@ -135,6 +136,7 @@ class _Tokenizer(HTMLParser):
         self._blocks: list[_Block] = [_Block("body", 0, False, False)]
         self._drop_depth = 0
         self._neg_depth = 0
+        self._content_depth = 0  # open <article>/<main> ancestors
         self._a_depth = 0
         self._text_pos = 0  # monotonic document-order text counter
 
@@ -156,17 +158,31 @@ class _Tokenizer(HTMLParser):
                 if attr_text:
                     attr_neg = bool(_NEG_ATTR_RE.search(attr_text))
                     attr_pos = bool(_POS_ATTR_RE.search(attr_text))
-            neg_bump = tag in _NEGATIVE_TAGS or attr_neg
+            # HTML5 gives <header> two roles: the page masthead (chrome)
+            # and the headline block of an <article>/<main> it sits inside
+            # ("<article><header><h1>…" is the dominant real-crawl headline
+            # spelling). Tag-level negativity applies only to the masthead
+            # role; an article-scoped header is that article's own title
+            # block. Class negativity (masthead/banner/…) still applies
+            # anywhere, and footer/nav/aside/form stay negative everywhere
+            # (an article footer holds tags/share chrome, not content).
+            tag_neg = tag in _NEGATIVE_TAGS and not (
+                tag == "header" and self._content_depth > 0
+            )
+            neg_bump = tag_neg or attr_neg
             if self._blocks:
                 self._blocks[-1].n_tags += 1
                 if tag == "a":
                     self._blocks[-1].n_links += 1
         is_a = tag == "a" and not drop
         is_block = tag in _BLOCK_TAGS and not drop
+        content_bump = tag in ("article", "main") and not drop
         if drop:
             self._drop_depth += 1
         if neg_bump:
             self._neg_depth += 1
+        if content_bump:
+            self._content_depth += 1
         if is_a:
             self._a_depth += 1
         if is_block:
@@ -178,7 +194,7 @@ class _Tokenizer(HTMLParser):
                     attr_pos=attr_pos,
                 )
             )
-        self._elems.append(_Elem(tag, neg_bump, drop, is_block, is_a))
+        self._elems.append(_Elem(tag, neg_bump, content_bump, drop, is_block, is_a))
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         # self-closing non-void tag: count it, no stack push
@@ -206,6 +222,8 @@ class _Tokenizer(HTMLParser):
             self._drop_depth -= 1
         if elem.neg_bump:
             self._neg_depth -= 1
+        if elem.content_bump:
+            self._content_depth -= 1
         if elem.is_a:
             self._a_depth -= 1
         if elem.is_block and len(self._blocks) > 1:
