@@ -1942,7 +1942,8 @@ def _nodes_profile_oracle_sql() -> str:
     nav_lens = ", ".join(str(len(w)) for w in _NAV_WORDS)
     side_lens = ", ".join(str(len(t)) for t in _SIDEBAR_TITLES)
     # constant chrome text lengths (measured from the literal templates):
-    # cta div 34, cookie div 60, share div 45; h4 17; footer p 56 + digits
+    # cta div 34, cookie div 53 (the <button>Accept</button> label is a
+    # dropped form control), share div 45; h4 17; footer p 56 + digits
     # of k%11; h1 13 + digits of k%13; sidebar li 28 + digits of k%97.
     return f"""
         WITH d AS (
@@ -1967,7 +1968,7 @@ def _nodes_profile_oracle_sql() -> str:
           FROM per_doc
           UNION ALL
           SELECT 'div', 3 * count(*), 0.0, 3 * count(*),
-                 (34 + 60 + 45) * count(*)
+                 (34 + 53 + 45) * count(*)
           FROM per_doc
           UNION ALL
           SELECT 'li', sum(n_nav + 2 * n_side), 0.0, sum(n_nav + 2 * n_side),
@@ -2034,7 +2035,8 @@ def _extract_quality_oracle_sql() -> str:
     """DuckDB twin of the boilerplate-ratio signal: total chrome char mass
     per page as a closed form of k = url_key(url) (the per-tag text-length
     model shared with the nodes_profile oracle: h1 13+digits(k%13), three
-    constant divs 34+60+45, nav+sidebar <li> word lengths, sidebar title,
+    constant divs 34+53+45 (button labels are dropped form controls),
+    nav+sidebar <li> word lengths, sidebar title,
     h4 17, footer p 56+digits(k%11)); kept mass is the content <p> =
     n_chars."""
     from ocr_spark.kernels.synth import _NAV_WORDS, _SIDEBAR_TITLES
@@ -2049,7 +2051,7 @@ def _extract_quality_oracle_sql() -> str:
         ),
         per_doc AS (
           SELECT url, n_chars,
-                 225
+                 218
                  + length(CAST(k % 13 AS VARCHAR))
                  + length(CAST(k % 11 AS VARCHAR))
                  + list_sum(list_transform(range(5 + k % 7),

@@ -680,4 +680,16 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "Council approves the riverfront housing plan\n\n"
         "The vote passed seven to two after a four-hour session, clearing the way for twelve hundred homes on the former rail yard.",
     ),
+    (
+        52,
+        "inline form-control labels (read-more, copy buttons) never leak",
+        """<body><main><article>
+        <p>The scheduler assigns each partition to the executor holding its cached block, falling back to any free slot after the locality wait expires. <button class="expand">Read more</button></p>
+        <pre>spark.conf.set("spark.locality.wait", "0s") <button>Copy</button></pre>
+        <p>Set the wait to zero only when the cluster's network is faster than its disks; otherwise locality is still worth the idle slot. <select><option>Show comments</option><option>Hide comments</option></select></p>
+        </article></main></body>""",
+        "The scheduler assigns each partition to the executor holding its cached block, falling back to any free slot after the locality wait expires.\n\n"
+        'spark.conf.set("spark.locality.wait", "0s")\n\n'
+        "Set the wait to zero only when the cluster's network is faster than its disks; otherwise locality is still worth the idle slot.",
+    ),
 ]

@@ -47,12 +47,20 @@ from ocr_spark.config import (
     SCORE_THRESH,
 )
 
-# Tags whose entire subtree is dropped (never text content).
+# Tags whose entire subtree is dropped (never text content). Form
+# controls (button/select/option/textarea/datalist) are here, not in the
+# negative set: their text is UI labeling ("Read more", "Copy", dropdown
+# choices), never document text — inline inside a kept paragraph or a
+# code-block toolbar it would otherwise merge into the block's direct
+# text and leak into the extraction (wild case 52).
 _DROP_TAGS = frozenset(
-    "script style noscript template svg head title iframe object embed".split()
+    (
+        "script style noscript template svg head title iframe object embed "
+        "button select option textarea datalist"
+    ).split()
 )
 # Hard-negative containers: ancestry in one of these zeroes the score.
-_NEGATIVE_TAGS = frozenset("nav footer header aside form button select option".split())
+_NEGATIVE_TAGS = frozenset("nav footer header aside form".split())
 # Block-level containers: closing one emits a node row from its direct text.
 # The sectioning negatives (nav/footer/header/aside/form) are block
 # containers too: their direct text must become a hard-negative row of
