@@ -692,4 +692,19 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         'spark.conf.set("spark.locality.wait", "0s")\n\n'
         "Set the wait to zero only when the cluster's network is faster than its disks; otherwise locality is still worth the idle slot.",
     ),
+    (
+        53,
+        "byline and dateline metadata stripped; third-party comment embed stripped",
+        """<body><main><article>
+        <h1>Reservoir levels recover after wet spring</h1>
+        <p class="byline">By Jane Doe, Environment Desk <time>April 2, 2025</time></p>
+        <p>Storage across the basin stands at ninety-one percent of capacity, the highest level for this date in eleven years.</p>
+        <p>Operators cautioned that one wet season does not end the drought rules, which remain tied to the three-year rolling average.</p>
+        </article></main>
+        <div id="disqus_thread"><p>Loading comments from a third-party embed requires consent. Enable the embed to join the discussion.</p></div>
+        </body>""",
+        "Reservoir levels recover after wet spring\n\n"
+        "Storage across the basin stands at ninety-one percent of capacity, the highest level for this date in eleven years.\n\n"
+        "Operators cautioned that one wet season does not end the drought rules, which remain tied to the three-year rolling average.",
+    ),
 ]

@@ -84,8 +84,12 @@ _VOID_TAGS = frozenset("br hr img meta link input area base col source track wbr
 _NEG_ATTR_RE = re.compile(
     r"menu|footer|header|sidebar|side-bar|comment|banner|advert|promo|"
     r"share|social|breadcrumb|cookie|popup|masthead|related|widget|"
-    r"subscribe|sponsor|shoutbox|newsletter|paywall|consent|loading"
-    r"|(?:^|[\s_-])(?:nav|ad|ads|cta)(?:$|[\s_-])",
+    r"subscribe|sponsor|shoutbox|newsletter|paywall|consent|loading|"
+    # byline/dateline metadata (readability strips byline nodes from
+    # content) and third-party embed vendors (readability's
+    # unlikelyCandidates names disqus explicitly)
+    r"byline|dateline|disqus|taboola|outbrain"
+    r"|(?:^|[\s_-])(?:nav|ad|ads|cta|author)(?:$|[\s_-])",
     re.IGNORECASE,
 )
 # class/id positive signals (readability candidates).
