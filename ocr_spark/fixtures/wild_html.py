@@ -707,4 +707,50 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "Storage across the basin stands at ninety-one percent of capacity, the highest level for this date in eleven years.\n\n"
         "Operators cautioned that one wet season does not end the drought rules, which remain tied to the three-year rolling average.",
     ),
+    (
+        54,
+        "hidden-at-parse nodes never extracted: display:none, [hidden], aria-hidden",
+        """<body><main><article>
+        <h1>Ferry timetable changes take effect Monday</h1>
+        <p>The morning crossings move fifteen minutes earlier to clear the dredging window, and the late boat is extended to midnight on Fridays.</p>
+        <div style="display: none"><p>Legacy timetable kept in the page for a script to diff against; riders should never read this sentence.</p></div>
+        <p hidden>Editor draft: confirm the midnight extension with the harbour office before publishing.</p>
+        <div aria-hidden="true"><p>Decorative duplicate slide of the announcement used by the carousel animation.</p></div>
+        </article></main>
+        </body>""",
+        "Ferry timetable changes take effect Monday\n\n"
+        "The morning crossings move fifteen minutes earlier to clear the dredging window, and the late boat is extended to midnight on Fridays.",
+    ),
+    (
+        55,
+        "ARIA landmarks on divs: banner/navigation/contentinfo stripped, role=main kept",
+        """<body>
+        <div role="banner"><a href="/">Old Bootstrap Site</a> The finest gadget reviews on the early web</div>
+        <div role="navigation"><a href="/reviews">Reviews</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>
+        <div role="main">
+        <h2>Review: the pocket barometer</h2>
+        <p>The barometer reads true within one hectopascal across the whole tested range, and the bezel clicks with a confidence modern instruments have lost.</p>
+        </div>
+        <div role="contentinfo">Copyright two thousand twenty five, all rights reserved to the example publisher.</div>
+        </body>""",
+        "Review: the pocket barometer\n\n"
+        "The barometer reads true within one hectopascal across the whole tested range, and the bezel clicks with a confidence modern instruments have lost.",
+    ),
+    (
+        56,
+        "media fallback text and dialog modals never extracted",
+        """<body><main><article>
+        <h1>Concert review: the visiting quartet</h1>
+        <p>The quartet opened with a reading of the slow movement that favoured clarity over sentiment, and the hall rewarded them with a long silence before the applause.</p>
+        <video controls src="clip.mp4">Your browser does not support the video tag. Download the performance clip from the archive page instead.</video>
+        <canvas id="seating-viz">Fallback text: your browser cannot render the interactive seating chart canvas element.</canvas>
+        <audio src="encore.mp3">Audio playback is not supported on this device; a transcript is available below.</audio>
+        <dialog><p>Before you go: subscribe to our weekly reviews, delivered to your inbox every Friday morning.</p></dialog>
+        <dialog open><p>We value your privacy. Accept all cookies to continue reading this performance review.</p></dialog>
+        <p>After the interval the programme turned to the new commission, whose off-beat rhythms the players handled with visible pleasure.</p>
+        </article></main></body>""",
+        "Concert review: the visiting quartet\n\n"
+        "The quartet opened with a reading of the slow movement that favoured clarity over sentiment, and the hall rewarded them with a long silence before the applause.\n\n"
+        "After the interval the programme turned to the new commission, whose off-beat rhythms the players handled with visible pleasure.",
+    ),
 ]

@@ -52,11 +52,15 @@ from ocr_spark.config import (
 # negative set: their text is UI labeling ("Read more", "Copy", dropdown
 # choices), never document text — inline inside a kept paragraph or a
 # code-block toolbar it would otherwise merge into the block's direct
-# text and leak into the extraction (wild case 52).
+# text and leak into the extraction (wild case 52). Media elements
+# (video/audio/canvas) carry only FALLBACK content ("Your browser does
+# not support…") that no real browser renders; <dialog> is display:none
+# by the UA stylesheet unless [open], and an open dialog is a modal
+# interstitial (paywall/newsletter) — chrome either way (wild case 56).
 _DROP_TAGS = frozenset(
     (
         "script style noscript template svg head title iframe object embed "
-        "button select option textarea datalist"
+        "button select option textarea datalist video audio canvas dialog"
     ).split()
 )
 # Hard-negative containers: ancestry in one of these zeroes the score.
@@ -99,6 +103,20 @@ _POS_ATTR_RE = re.compile(
 )
 
 _WS_RE = re.compile(r"\s+")
+
+# Inline-style invisibility: readability's isProbablyVisible drops nodes
+# with display:none / visibility:hidden, the [hidden] attribute, or
+# aria-hidden="true". CSS-class-resolved hiding (.ad{display:none}) is
+# out of scope, as it is for readability.
+_HIDDEN_STYLE_RE = re.compile(r"display\s*:\s*none|visibility\s*:\s*hidden", re.IGNORECASE)
+
+# ARIA landmark roles: chrome landmarks score negative like their HTML5
+# tag equivalents (old-Bootstrap sites ship <div role="navigation">);
+# role="main"/"article" mark content like <main>/<article> do.
+_NEG_ROLES = frozenset(
+    "navigation banner complementary contentinfo search form "
+    "menu menubar toolbar dialog alertdialog".split()
+)
 
 # Per-tag-class text-length normalizers: the length at which text evidence
 # saturates. Headings are short by nature; generic divs need more evidence.
@@ -161,15 +179,40 @@ class _Tokenizer(HTMLParser):
         drop = self._drop_depth > 0 or tag in _DROP_TAGS
         neg_bump = False
         attr_pos = False
+        role = ""
+        if not drop and attrs:
+            # invisible-at-parse nodes are dropped subtrees (readability's
+            # isProbablyVisible): [hidden], aria-hidden="true", or inline
+            # display:none / visibility:hidden
+            hidden = False
+            for k, v in attrs:
+                if k == "hidden":
+                    hidden = True
+                elif k == "aria-hidden":
+                    if v is not None and v.strip().lower() == "true":
+                        hidden = True
+                elif k == "style":
+                    if v and _HIDDEN_STYLE_RE.search(v):
+                        hidden = True
+                elif k == "role":
+                    if v:
+                        role = v.strip().lower()
+            if hidden:
+                drop = True
         if not drop:
             attr_neg = False
-            if attrs:  # scanner passes only class/id; skip work when absent
+            if attrs:  # scanner passes class/id/role/style/hidden only
                 attr_text = " ".join(
                     v for k, v in attrs if k in ("class", "id") and v
                 )
                 if attr_text:
                     attr_neg = bool(_NEG_ATTR_RE.search(attr_text))
                     attr_pos = bool(_POS_ATTR_RE.search(attr_text))
+            if role:
+                if role in _NEG_ROLES:
+                    attr_neg = True
+                elif role in ("main", "article"):
+                    attr_pos = True
             # HTML5 gives <header> two roles: the page masthead (chrome)
             # and the headline block of an <article>/<main> it sits inside
             # ("<article><header><h1>…" is the dominant real-crawl headline
@@ -188,7 +231,9 @@ class _Tokenizer(HTMLParser):
                     self._blocks[-1].n_links += 1
         is_a = tag == "a" and not drop
         is_block = tag in _BLOCK_TAGS and not drop
-        content_bump = tag in ("article", "main") and not drop
+        content_bump = not drop and (
+            tag in ("article", "main") or role in ("main", "article")
+        )
         if drop:
             self._drop_depth += 1
         if neg_bump:

@@ -42,14 +42,19 @@ _TAG_RE = re.compile(
     re.DOTALL,
 )
 
-# class/id attributes are the only ones the tokenizer consumes. The
-# lookbehind rejects hyphen/word prefixes so data-class / item-id and the
-# like are NOT misread as class/id (html.parser reports them verbatim and
-# the tokenizer ignores them).
-_CLASSID_RE = re.compile(
-    r"""(?<![\w-])(class|id)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""",
+# The tokenizer consumes class/id (chrome patterns), role (ARIA
+# landmarks), style + hidden + aria-hidden (invisibility). The lookbehind
+# rejects hyphen/word prefixes so data-class / item-id / data-hidden and
+# the like are NOT misread (html.parser reports them verbatim and the
+# tokenizer ignores them); the lookahead likewise rejects name extensions
+# (hidden-x). The value is optional so the bare boolean ``hidden``
+# attribute is reported with a None value, matching html.parser.
+_ATTR_RE = re.compile(
+    r"""(?<![\w-])(class|id|role|style|aria-hidden|hidden)(?![\w-])"""
+    r"""(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+)))?""",
     re.IGNORECASE,
 )
+_ATTR_HINTS = ("class", "id", "role", "style", "hidden")
 
 # raw-text containers: content is NOT markup until the literal close tag.
 # html.parser's CDATA_CONTENT_ELEMENTS is exactly (script, style) — keep in
@@ -60,14 +65,18 @@ _CDATA_CLOSE = {
 }
 
 
-def _attrs_of(attr_str: str) -> list[tuple[str, str]]:
+def _attrs_of(attr_str: str) -> list[tuple[str, str | None]]:
     if not attr_str:
         return []
     low = attr_str.lower()  # CLASS=/ID= must hit the fast-path guard too
-    if "class" not in low and "id" not in low:
+    if not any(h in low for h in _ATTR_HINTS):
         return []
     out = []
-    for m in _CLASSID_RE.finditer(attr_str):
+    for m in _ATTR_RE.finditer(attr_str):
+        if m.group(2) is None and m.group(3) is None and m.group(4) is None:
+            # bare boolean attribute (hidden) — html.parser reports None
+            out.append((m.group(1).lower(), None))
+            continue
         val = m.group(2) or m.group(3) or m.group(4) or ""
         if "&" in val:
             val = _htmlmod.unescape(val)
