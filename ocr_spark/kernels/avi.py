@@ -6,8 +6,12 @@ Supports the canonical uncompressed AVI shape: RIFF 'AVI ' → LIST hdrl
 (avih main header + strl stream headers) → LIST movi whose '..db'/'..dc'
 chunks carry BI_RGB DIB frames (24-bit BGR or 8-bit + grayscale palette),
 bottom-up rows padded to 4-byte boundaries — the format every classic
-"write raw AVI" tool emits. Compressed fourccs raise ``ValueError``;
-callers' malformed-payload discipline turns that into a row skip.
+"write raw AVI" tool emits — plus Motion-JPEG ('MJPG' fourcc), the
+dominant real-world AVI payload, where every frame chunk is a standalone
+JPEG decoded by ``kernels.jpeg`` (tableless frames get the Annex-K
+Huffman tables per the OpenDML convention). Other fourccs raise
+``ValueError``; callers' malformed-payload discipline turns that into a
+row skip.
 
 The frame explosion consumer (``operators.multimodal.sample_frames``)
 needs only "payload bytes → list of (H, W) float rasters", which is the
@@ -28,17 +32,24 @@ def _pad4(n: int) -> int:
 
 
 def encode_avi(
-    frames: np.ndarray, fps: int = 10
+    frames: np.ndarray, fps: int = 10, codec: str = "raw", quality: int = 90
 ) -> bytes:
-    """uint8 frames [N, H, W] (grayscale) → uncompressed 24-bit AVI bytes
-    (each gray value replicated to BGR, bottom-up rows, 4-byte aligned)."""
+    """uint8 frames [N, H, W] (grayscale) → AVI bytes.
+
+    ``codec="raw"`` (default): uncompressed 24-bit DIB frames (each gray
+    value replicated to BGR, bottom-up rows, 4-byte aligned).
+    ``codec="mjpg"``: Motion-JPEG — each frame is a standalone baseline
+    JPEG (``kernels.jpeg``) in a '00dc' chunk, biCompression 'MJPG'; the
+    dominant real-world AVI payload (webcams, capture cards)."""
     frames = np.asarray(frames)
     if frames.dtype != np.uint8 or frames.ndim != 3:
         raise ValueError(f"encode_avi wants uint8 [N,H,W], got "
                          f"{frames.dtype} {frames.shape}")
+    if codec not in ("raw", "mjpg"):
+        raise ValueError(f"unknown AVI codec {codec!r}")
+    mjpg = codec == "mjpg"
     n, h, w = frames.shape
     row_bytes = _pad4(w * 3)
-    frame_bytes = row_bytes * h
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         out = struct.pack("<4sI", tag, len(body)) + body
@@ -47,6 +58,17 @@ def encode_avi(
     def lst(kind: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", kind + body)
 
+    if mjpg:
+        from ocr_spark.kernels.jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(f, quality=quality) for f in frames]
+        frame_bytes = max(len(p) for p in payloads)
+        handler, comp, frame_tag = b"MJPG", b"MJPG", b"00dc"
+    else:
+        payloads = None
+        frame_bytes = row_bytes * h
+        handler, comp, frame_tag = b"DIB ", b"\x00\x00\x00\x00", b"00db"
+
     avih = struct.pack(
         "<IIIIIIIIII4I",
         1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0, 1,
@@ -54,21 +76,25 @@ def encode_avi(
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0,
+        b"vids", handler, 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0,
         0, 0, w, h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
-                       0, 0, 0, 0)
+    strf = struct.pack("<Iii HH 4s Iii II", 40, w, h, 1, 24, comp,
+                       frame_bytes, 0, 0, 0, 0)
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
     movi_body = b""
-    for f in frames:
-        dib = np.zeros((h, row_bytes), dtype=np.uint8)
-        bgr = np.repeat(f[::-1, :, None], 3, axis=2)  # bottom-up, gray→BGR
-        dib[:, : w * 3] = bgr.reshape(h, w * 3)
-        movi_body += chunk(b"00db", dib.tobytes())
+    if mjpg:
+        for p in payloads:
+            movi_body += chunk(frame_tag, p)
+    else:
+        for f in frames:
+            dib = np.zeros((h, row_bytes), dtype=np.uint8)
+            bgr = np.repeat(f[::-1, :, None], 3, axis=2)  # bottom-up, gray→BGR
+            dib[:, : w * 3] = bgr.reshape(h, w * 3)
+            movi_body += chunk(frame_tag, dib.tobytes())
     movi = lst(b"movi", movi_body)
     riff_body = b"AVI " + hdrl + movi
     return struct.pack("<4sI", b"RIFF", len(riff_body)) + riff_body
@@ -155,6 +181,30 @@ def decode_avi(data: bytes) -> list[np.ndarray]:
     if w is None or video_stream is None:
         raise ValueError("missing video strh/strf header")
     want = b"%02d" % video_stream
+    fourcc = struct.pack("<I", compression)
+    if fourcc.upper() == b"MJPG":
+        # Motion-JPEG: every frame chunk is a standalone JPEG. Frames may
+        # omit Huffman tables (the OpenDML convention implies Annex K) —
+        # splice them in; the per-frame SOF dims are authoritative and
+        # must agree with the strf header (container-consistency check).
+        from ocr_spark.kernels.jpeg import decode_jpeg, ensure_huffman_tables
+
+        out = []
+        for tag, body_start, length in frames:
+            if tag[:2] != want:
+                continue
+            img = decode_jpeg(
+                ensure_huffman_tables(data[body_start : body_start + length])
+            )
+            if img.ndim == 3:
+                img = img.astype(np.float32).mean(axis=2).round().astype(np.uint8)
+            if img.shape != (h, w):
+                raise ValueError(
+                    f"MJPG frame is {img.shape[1]}x{img.shape[0]}, "
+                    f"strf says {w}x{h}"
+                )
+            out.append(img)
+        return out
     if compression != 0:
         raise ValueError(f"compressed AVI (fourcc {compression}) unsupported")
     if bits not in (8, 24):

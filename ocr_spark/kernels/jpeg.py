@@ -779,6 +779,48 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
     raise ValueError("no SOF marker found")
 
 
+def _std_dht_segment() -> bytes:
+    """One DHT segment carrying all four Annex-K tables (DC/AC × ids 0/1)
+    — the tables a tableless MJPEG-in-AVI frame implies by convention."""
+    body = b""
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        body += bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def ensure_huffman_tables(data: bytes) -> bytes:
+    """Splice the standard Annex-K Huffman tables before the first SOS of
+    a JPEG that carries none. MJPEG-in-AVI frames conventionally omit DHT
+    (the OpenDML spec says decoders must assume the T.81 Annex-K tables);
+    plain JPEGs with their own tables pass through untouched, as does
+    anything this header walk cannot parse (the full decoder will then
+    report the real error)."""
+    if len(data) < 4 or data[:2] != JPEG_MAGIC:
+        return data
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return data
+        marker = data[pos + 1]
+        if marker == 0xC4:  # has its own tables
+            return data
+        if marker == 0xDA:  # reached SOS with no DHT seen
+            return data[:pos] + _std_dht_segment() + data[pos:]
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (length,) = struct.unpack_from(">H", data, pos + 2)
+        if length < 2:
+            return data
+        pos += 2 + length
+    return data
+
+
 def _extend(v: int, cat: int) -> int:
     """T.81 EXTEND: map ``cat`` received magnitude bits to a signed
     coefficient value."""

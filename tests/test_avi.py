@@ -193,3 +193,116 @@ def test_foreign_stream_frames_ignored():
     patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
     got = decode_avi(patched)
     assert len(got) == 2
+
+
+# ---- Motion-JPEG (MJPG fourcc) ----
+
+
+def test_mjpg_roundtrip_close():
+    """MJPG encode→decode: right frame count/dims, pixels within JPEG
+    quantization error of the input (lossy codec, exactness not owed)."""
+    f = _frames(n=3, h=16, w=24)
+    got = decode_avi(encode_avi(f, codec="mjpg", quality=95))
+    assert len(got) == 3
+    assert all(g.shape == (16, 24) and g.dtype == np.uint8 for g in got)
+    err = max(
+        int(abs(a.astype(int) - b.astype(int)).max()) for a, b in zip(f, got)
+    )
+    assert err <= 16, err
+
+
+def test_mjpg_tableless_frames_decode():
+    """MJPG frames conventionally omit DHT (OpenDML: assume Annex K).
+    Stripping every DHT from the frame payloads must decode identically."""
+    import struct
+
+    def strip_dht(j: bytes) -> bytes:
+        out = b"\xff\xd8"
+        pos = 2
+        while pos + 4 <= len(j):
+            marker = j[pos + 1]
+            if marker == 0xDA:
+                return out + j[pos:]
+            (length,) = struct.unpack_from(">H", j, pos + 2)
+            if marker != 0xC4:
+                out += j[pos : pos + 2 + length]
+            pos += 2 + length
+        return out
+
+    f = _frames(n=2, h=8, w=12)
+    avi = bytearray(encode_avi(f, codec="mjpg"))
+    # rewrite every 00dc chunk body with its DHT-stripped twin
+    pos = avi.index(b"movi") + 4
+    out = bytes(avi[:pos])
+    while pos + 8 <= len(avi):
+        tag, length = struct.unpack_from("<4sI", avi, pos)
+        body = bytes(avi[pos + 8 : pos + 8 + length])
+        if tag == b"00dc":
+            body = strip_dht(body)
+        out += struct.pack("<4sI", tag, len(body)) + body
+        if len(body) & 1:
+            out += b"\x00"
+        pos += 8 + length + (length & 1)
+    # patch the movi LIST and RIFF lengths after the rewrite
+    movi_list = out.index(b"LIST", out.index(b"movi") - 8)
+    out = (
+        out[: movi_list + 4]
+        + struct.pack("<I", len(out) - movi_list - 8)
+        + out[movi_list + 8 :]
+    )
+    out = out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+    got = decode_avi(out)
+    want = decode_avi(bytes(avi))
+    assert len(got) == 2
+    assert all((a == b).all() for a, b in zip(got, want))
+
+
+def test_mjpg_strf_dims_mismatch_raises():
+    """The per-frame SOF dims are authoritative and must agree with the
+    strf header — a mismatch is a malformed container, not a guess."""
+    import struct
+
+    avi = bytearray(encode_avi(_frames(n=1, h=8, w=12), codec="mjpg"))
+    strf = avi.index(b"strf") + 8  # chunk body: biSize, biWidth, ...
+    struct.pack_into("<i", avi, strf + 4, 13)  # lie about biWidth
+    with pytest.raises(ValueError, match="strf"):
+        decode_avi(bytes(avi))
+
+
+def test_mjpg_corrupt_frame_raises():
+    avi = bytearray(encode_avi(_frames(n=1, h=8, w=12), codec="mjpg"))
+    pos = avi.index(b"00dc")
+    avi[pos + 8 : pos + 10] = b"XX"  # destroy the frame's SOI
+    with pytest.raises(ValueError):
+        decode_avi(bytes(avi))
+
+
+def test_unknown_encode_codec_raises():
+    with pytest.raises(ValueError, match="codec"):
+        encode_avi(_frames(), codec="h264")
+
+
+def test_unknown_compressed_fourcc_still_raises():
+    """Non-MJPG compression fourccs stay unsupported (honest refusal)."""
+    import struct
+
+    avi = bytearray(encode_avi(_frames(n=1, h=8, w=8)))
+    strf = avi.index(b"strf") + 8
+    struct.pack_into("<4s", avi, strf + 16, b"H264")
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_avi(bytes(avi))
+
+
+def test_sample_frames_decodes_mjpg_avi(spark):
+    """The multimodal seam decodes MJPG payloads end-to-end: frame
+    explosion count comes from the real container parse."""
+    from ocr_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    f = _frames(n=6, h=8, w=12)
+    payload = encode_avi(f, codec="mjpg")
+    media = spark.createDataFrame(
+        [(1, "u", "video", bytearray(payload), (12, 8, 99, None, "video/avi"))],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(media, every_n=2).collect()
+    assert sorted(r.frame_no for r in rows) == [0, 2, 4]
