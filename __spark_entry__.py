@@ -532,20 +532,28 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``kernels.png``, stored-deflate level 0 so the byte size has the
       closed form 76 + 8·W), decoded back via signature sniff + IHDR
       parse + inflate + unfilter.
-    - ODD doc_ids: a per-8×8-block-uniform grayscale image (W = 8·(1 +
-      doc_id % 5), H = 16, block b value (doc_id·7 + 13·b) % 251) encoded
-      as an actual JPEG (``kernels.jpeg``, quality 90 — baseline SOF0,
-      or SOF2 progressive for doc_id % 4 == 3), decoded back via marker
-      parse + Huffman + dequantize + IDCT (scan accumulation for the
-      progressive container). DC-only blocks at q90 reconstruct EXACTLY,
-      so the oracle predicts the decoded pixel-sum checksum Σ 64·v_b in
-      closed form — a value that only exists after a full real decode.
+    - doc_id % 4 == 1: a per-8×8-block-uniform grayscale image (W = 8·(1
+      + doc_id % 5), H = 16, block b value (doc_id·7 + 13·b) % 251)
+      encoded as an actual JPEG (``kernels.jpeg``, quality 90 — baseline
+      SOF0, or SOF2 progressive for doc_id % 8 == 5), decoded back via
+      marker parse + Huffman + dequantize + IDCT (scan accumulation for
+      the progressive container). DC-only blocks at q90 reconstruct
+      EXACTLY, so the oracle predicts the decoded pixel-sum checksum
+      Σ 64·v_b in closed form — a value that only exists after a full
+      real decode.
+    - doc_id % 4 == 3: VIDEO — a Motion-JPEG AVI (``kernels.avi``,
+      'MJPG' fourcc) of 1 + doc_id % 3 DC-exact frames (frame f block b
+      value (doc_id·7 + 13·b + 17·f) % 251), decoded back via the full
+      RIFF walk + per-frame JPEG decode; the pixel-sum checksum spans
+      ALL frames, so the closed-form Σ_f Σ_b 64·v_{f,b} proves both the
+      container parse (frame count) and every frame's entropy decode.
 
     The oracle checks the sniffed container fmt, the PNG byte size, the
     decoded dimensions (which only exist inside the payload), and the
-    JPEG pixel sum."""
+    JPEG/AVI pixel sums."""
     import pandas as pd
 
+    from ocr_spark.kernels.avi import encode_avi
     from ocr_spark.kernels.jpeg import encode_jpeg
     from ocr_spark.kernels.png import encode_png
     from ocr_spark.operators.multimodal import extract_media_features
@@ -553,10 +561,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def media_fn(batches):
         import numpy as np
 
+        def block_image(doc_id, f):
+            blocks = np.arange(2 * (1 + doc_id % 5), dtype=np.int64)
+            vals = (doc_id * 7 + 13 * blocks + 17 * f) % 251
+            return (
+                vals.reshape(2, -1)
+                .repeat(8, axis=0)
+                .repeat(8, axis=1)
+                .astype(np.uint8)
+            )
+
         for pdf in batches:
-            ids, urls, payloads = [], [], []
+            ids, urls, kinds, payloads = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
+                kind = "image"
                 if doc_id % 2 == 0:
                     b = str(text).encode("utf-8")
                     w = min(max(len(b), 1), 384)
@@ -565,27 +584,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         8 * w // max(len(b), 1) + 8,
                     )[: 8 * w].reshape(8, w)
                     payload = encode_png(pix, level=0)
-                else:
-                    w = 8 * (1 + doc_id % 5)
-                    blocks = np.arange(2 * (1 + doc_id % 5), dtype=np.int64)
-                    vals = (doc_id * 7 + 13 * blocks) % 251
-                    pix = (
-                        vals.reshape(2, -1)
-                        .repeat(8, axis=0)
-                        .repeat(8, axis=1)
-                        .astype(np.uint8)
-                    )
-                    # doc_id % 4 == 3 ships SOF2 progressive: same
+                elif doc_id % 4 == 1:
+                    # doc_id % 8 == 5 ships SOF2 progressive: same
                     # quantized coefficients, same exact DC-only pixel
                     # sum — one closed-form oracle proves both containers
                     payload = encode_jpeg(
-                        pix, quality=90, progressive=doc_id % 4 == 3
+                        block_image(doc_id, 0),
+                        quality=90,
+                        progressive=doc_id % 8 == 5,
                     )
+                else:
+                    # MJPG AVI of DC-exact frames: the all-frame pixel
+                    # sum is closed-form, provable only by a real
+                    # RIFF walk + per-frame JPEG decode
+                    kind = "video"
+                    frames = np.stack(
+                        [
+                            block_image(doc_id, f)
+                            for f in range(1 + doc_id % 3)
+                        ]
+                    )
+                    payload = encode_avi(frames, codec="mjpg", quality=90)
                 ids.append(doc_id)
                 urls.append(f"mem://doc/{doc_id}")
+                kinds.append(kind)
                 payloads.append(payload)
             yield pd.DataFrame(
-                {"media_id": ids, "url": urls, "payload": payloads}
+                {
+                    "media_id": ids,
+                    "url": urls,
+                    "kind": kinds,
+                    "payload": payloads,
+                }
             )
 
     docs = (
@@ -594,11 +624,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     media = docs.mapInPandas(
-        media_fn, schema="media_id long, url string, payload binary"
+        media_fn,
+        schema="media_id long, url string, kind string, payload binary",
     ).select(
         "media_id",
         "url",
-        F.lit("image").alias("kind"),
+        "kind",
         "payload",
         F.struct(
             F.lit(16).cast("int").alias("width"),
@@ -613,13 +644,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         "fmt",
-        # closed-form-checkable per format: PNG byte size, JPEG pixel sum
+        # closed-form-checkable per format: PNG byte size, JPEG/AVI sums
         F.when(F.col("fmt") == "png", F.col("payload_bytes")).alias(
             "payload_bytes"
         ),
         "decoded_w",
         "decoded_h",
-        F.when(F.col("fmt") == "jpeg", F.col("pixel_sum")).alias("pixel_sum"),
+        F.when(
+            F.col("fmt").isin("jpeg", "avi"), F.col("pixel_sum")
+        ).alias("pixel_sum"),
     )
 
 
@@ -1470,11 +1503,18 @@ def oracle_sql() -> dict[str, str]:
             -- even docs: PNG, W = min(n_text_bytes, 384), 8 rows of W px,
             -- filter-0 scanlines, stored-deflate: 8+25+12+12 fixed chunk
             -- overhead + (2 + 5 + 8*(W+1) + 4) zlib framing = 76 + 8*W.
-            -- odd docs: baseline JPEG, W = 8*(1+doc_id%5), H = 16,
+            -- doc_id%4==1: baseline JPEG, W = 8*(1+doc_id%5), H = 16,
             -- per-block-uniform values v_b = (doc_id*7+13*b) % 251 which
-            -- are DC-exact at q90, so the decoded pixel sum is 64*sum(v_b)
-            SELECT doc_id AS media_id, 'image' AS kind,
-                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+            -- are DC-exact at q90, so the decoded pixel sum is 64*sum(v_b).
+            -- doc_id%4==3: MJPG AVI of 1+doc_id%3 DC-exact frames, frame f
+            -- block b value (doc_id*7+13*b+17*f) % 251; the checksum spans
+            -- all frames: 64 * sum over f,b.
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 4 = 3 THEN 'video'
+                        ELSE 'image' END AS kind,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png'
+                        WHEN doc_id % 4 = 1 THEN 'jpeg'
+                        ELSE 'avi' END AS fmt,
                    CASE WHEN doc_id % 2 = 0 THEN
                      CAST(76 + 8 * least(greatest(octet_length(encode(text)), 1),
                                          384) AS BIGINT) END AS payload_bytes,
@@ -1483,10 +1523,17 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 8 * (1 + doc_id % 5) END AS INTEGER) AS decoded_w,
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END
                         AS INTEGER) AS decoded_h,
-                   CASE WHEN doc_id % 2 = 1 THEN
+                   CASE WHEN doc_id % 4 = 1 THEN
                      CAST(64 * list_sum(list_transform(
                          range(2 * (1 + doc_id % 5)),
                          b -> (doc_id * 7 + 13 * b) % 251)) AS BIGINT)
+                   WHEN doc_id % 4 = 3 THEN
+                     CAST(64 * list_sum(flatten(list_transform(
+                         range(1 + doc_id % 3),
+                         f -> list_transform(
+                             range(2 * (1 + doc_id % 5)),
+                             b -> (doc_id * 7 + 13 * b + 17 * f) % 251))))
+                       AS BIGINT)
                    END AS pixel_sum
             FROM documents
         """,

@@ -57,7 +57,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
-        # container format by signature sniff: 'png' | 'jpeg' | 'fake'
+        # container format by signature sniff: 'png' | 'jpeg' | 'avi' | 'fake'
         T.StructField("fmt", T.StringType()),
         T.StructField("payload_bytes", T.LongType()),
         T.StructField("payload_crc", T.LongType()),
@@ -149,8 +149,24 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             payload = bytes(payload)
             w = int(meta["width"] or 16)
             h = int(meta["height"] or 16)
+            frame_sum = None
             try:
-                img = decode_image(payload, w, h)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    # video container: real AVI parse (DIB or MJPG). The
+                    # decode checksum covers ALL frames — it only exists
+                    # after the full container decode — while dims and the
+                    # pooled feature come from the first frame.
+                    from ocr_spark.kernels.avi import decode_avi
+
+                    frames = decode_avi(payload)
+                    if not frames:
+                        continue
+                    frame_sum = int(
+                        sum(f.astype(np.int64).sum() for f in frames)
+                    )
+                    img = frames[0].astype(np.float32) / 255.0
+                else:
+                    img = decode_image(payload, w, h)
             except (ValueError, zlib.error):
                 continue  # truncated/corrupt container: skip, never crash
             # 16-dim pooled feature: column-band means (a fixed pooling —
@@ -158,14 +174,20 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             feat = _pool_bands(img)
             ids.append(int(mid))
             kinds.append(kind)
-            fmts.append(sniff_image_fmt(payload))
+            fmts.append(
+                "avi" if frame_sum is not None else sniff_image_fmt(payload)
+            )
             sizes.append(len(payload))
             crcs.append(zlib.crc32(payload))
             dhs.append(int(img.shape[0]))
             dws.append(int(img.shape[1]))
             # decode checksum over the 8-bit raster; the decoded floats
             # are exact v/255 multiples so rint recovers the byte values
-            psums.append(int(np.rint(img * 255.0).astype(np.int64).sum()))
+            psums.append(
+                frame_sum
+                if frame_sum is not None
+                else int(np.rint(img * 255.0).astype(np.int64).sum())
+            )
             feats.append(feat.tolist())
         if ids:  # empty frames with array columns break Arrow conversion
             yield pd.DataFrame(
