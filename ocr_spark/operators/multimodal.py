@@ -349,6 +349,73 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     ).mapInPandas(fn, schema=FRAMES_SCHEMA)
 
 
+FRAME_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def recognize_video_frames(
+    media: DataFrame, every_n: int = 1, decoder: str = "greedy"
+) -> DataFrame:
+    """Video-subtitle OCR: decode each AVI (raw DIB or MJPG), run the
+    font recognizer over every sampled frame, emit one (media_id,
+    frame_no, text) row per frame — the video analog of the strip
+    recognizer (burned-in subtitles / slide text / terminal captures).
+
+    Only 8-pixel-tall frames are recognizable (the glyph-strip geometry);
+    other heights and corrupt containers skip, never crash. Frames of one
+    payload are recognized as ONE batch (the NCC kernel is vectorized
+    over [B, 8, W]); the payload is dropped before rows multiply, and the
+    whole operator is map-only — no shuffle at any scale. The 94-char
+    vocabulary has no space class (cropped-line OCR, reference
+    semantics), so recognized text is the concatenated glyph stream.
+    """
+    from ocr_spark.kernels.avi import decode_avi
+    from ocr_spark.kernels.font import GLYPH_H, recognize_lines_font
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, texts = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+                    continue
+                try:
+                    frames = decode_avi(payload)
+                except ValueError:
+                    continue  # corrupt container: skip, never crash
+                kept = [
+                    (f, frames[f])
+                    for f in range(0, len(frames), every_n)
+                    if frames[f].shape[0] == GLYPH_H and frames[f].size
+                ]
+                if not kept:
+                    continue
+                batch = np.stack(
+                    [fr.astype(np.float32) / 255.0 for _, fr in kept]
+                )
+                widths = [batch.shape[2]] * len(kept)
+                decoded = recognize_lines_font(batch, widths, decoder=decoder)
+                for (f, _), text in zip(kept, decoded):
+                    ids.append(int(mid))
+                    fnos.append(f)
+                    texts.append(text)
+            if ids:
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_no": fnos, "text": texts}
+                )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(fn, schema=FRAME_TEXT_SCHEMA)
+
+
 def decode_audio(payload: bytes, sample_rate: int, n_samples: int) -> np.ndarray:
     """Audio codec seam: WAV (RIFF/PCM) payloads decode FOR REAL via the
     engine's own container parser (``kernels.wav`` — 8/16-bit PCM, any

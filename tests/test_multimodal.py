@@ -82,3 +82,67 @@ def test_feature_fmt_sniff_and_jpeg_decode(spark):
     assert rows[2].fmt == "avi"
     assert (rows[2].decoded_w, rows[2].decoded_h) == (16, 16)
     assert rows[2].pixel_sum > 16 * 16 * 255
+
+
+def test_recognize_video_frames_both_codecs(spark):
+    """Burned-in subtitle OCR: raw-DIB and MJPG AVIs of rendered glyph
+    strips decode back to the exact frame texts, one row per frame."""
+    import numpy as np
+
+    from ocr_spark.kernels.avi import encode_avi
+    from ocr_spark.kernels.font import render_line_font
+    from ocr_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        recognize_video_frames,
+    )
+
+    texts = ["HELLO,WORLD:42", "Subtitle+line-two!", "third*FRAME(ok)?"]
+    frames = np.stack(
+        [(render_line_font(t)[0] * 255).astype(np.uint8) for t in texts]
+    )
+    rows = [
+        (0, "u0", "video", bytearray(encode_avi(frames)),
+         (384, 8, 3, None, "video/avi")),
+        (1, "u1", "video", bytearray(encode_avi(frames, codec="mjpg")),
+         (384, 8, 3, None, "video/avi")),
+        # corrupt payload: skipped, never crashes the batch
+        (2, "u2", "video", bytearray(b"RIFF\x10\x00\x00\x00AVI junk"),
+         (0, 0, 0, None, "video/avi")),
+        # wrong-geometry frames (16 px tall): no recognizable rows
+        (3, "u3", "video",
+         bytearray(encode_avi(np.zeros((2, 16, 16), dtype=np.uint8))),
+         (16, 16, 2, None, "video/avi")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = recognize_video_frames(media).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.media_id, {})[r.frame_no] = r.text
+    assert set(per) == {0, 1}
+    for mid in (0, 1):
+        assert [per[mid][f] for f in range(3)] == texts
+
+
+def test_recognize_video_frames_sampling(spark):
+    import numpy as np
+
+    from ocr_spark.kernels.avi import encode_avi
+    from ocr_spark.kernels.font import render_line_font
+    from ocr_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        recognize_video_frames,
+    )
+
+    texts = [f"frame{i}" for i in range(6)]
+    frames = np.stack(
+        [(render_line_font(t)[0] * 255).astype(np.uint8) for t in texts]
+    )
+    media = spark.createDataFrame(
+        [(7, "u", "video", bytearray(encode_avi(frames, codec="mjpg")),
+          (384, 8, 6, None, "video/avi"))],
+        MEDIA_SCHEMA,
+    )
+    got = recognize_video_frames(media, every_n=2).collect()
+    assert {(r.frame_no, r.text) for r in got} == {
+        (0, "frame0"), (2, "frame2"), (4, "frame4")
+    }
