@@ -753,4 +753,16 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "The quartet opened with a reading of the slow movement that favoured clarity over sentiment, and the hall rewarded them with a long silence before the applause.\n\n"
         "After the interval the programme turned to the new commission, whose off-beat rhythms the players handled with visible pleasure.",
     ),
+    (
+        57,
+        "ruby annotations: rt reading glosses and rp parentheses never double the base text",
+        """<body><main><article>
+        <h1>駅の案内表示が新しくなりました</h1>
+        <p>中央口の看板には<ruby>東京<rp>（</rp><rt>とうきょう</rt><rp>）</rp></ruby>駅と<ruby>乗換<rp>（</rp><rt>のりかえ</rt><rp>）</rp></ruby>通路の方向が示されています。</p>
+        <p>通路を進むと五分ほどで在来線の改札に着きます。</p>
+        </article></main></body>""",
+        "駅の案内表示が新しくなりました\n\n"
+        "中央口の看板には東京駅と乗換通路の方向が示されています。\n\n"
+        "通路を進むと五分ほどで在来線の改札に着きます。",
+    ),
 ]

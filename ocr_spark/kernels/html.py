@@ -57,10 +57,15 @@ from ocr_spark.config import (
 # not support…") that no real browser renders; <dialog> is display:none
 # by the UA stylesheet unless [open], and an open dialog is a modal
 # interstitial (paywall/newsletter) — chrome either way (wild case 56).
+# Ruby annotations (rt: the reading gloss, rp: its non-ruby-browser
+# parentheses) annotate the base text a reader reads linearly — keeping
+# them would double every CJK term ("東京(とうきょう)") in the
+# extraction (wild case 57).
 _DROP_TAGS = frozenset(
     (
         "script style noscript template svg head title iframe object embed "
-        "button select option textarea datalist video audio canvas dialog"
+        "button select option textarea datalist video audio canvas dialog "
+        "rt rp"
     ).split()
 )
 # Hard-negative containers: ancestry in one of these zeroes the score.
