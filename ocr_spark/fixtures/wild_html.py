@@ -765,4 +765,16 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "中央口の看板には東京駅と乗換通路の方向が示されています。\n\n"
         "通路を進むと五分ほどで在来線の改札に着きます。",
     ),
+    (
+        58,
+        "invisible layout characters stripped: soft hyphens, zero-width spaces, stray BOM",
+        """<body><main><article>
+        <h1>Donau&shy;dampf&shy;schifffahrts company wins river contract</h1>
+        <p>The shipping group announced a frame&shy;work agreement covering river logistics, with zero&#8203;width breaks the CMS inserts between compound words and a stray ﻿byte-order mark mid-sentence.</p>
+        <p>Family emoji stay joined: 👨‍👩‍👧 appears exactly as published, because zero-width joiners are meaning, not layout.</p>
+        </article></main></body>""",
+        "Donaudampfschifffahrts company wins river contract\n\n"
+        "The shipping group announced a framework agreement covering river logistics, with zerowidth breaks the CMS inserts between compound words and a stray byte-order mark mid-sentence.\n\n"
+        "Family emoji stay joined: 👨‍👩‍👧 appears exactly as published, because zero-width joiners are meaning, not layout.",
+    ),
 ]

@@ -109,6 +109,9 @@ _POS_ATTR_RE = re.compile(
 
 _WS_RE = re.compile(r"\s+")
 
+# deletion table for invisible layout characters (see handle_data)
+_INVISIBLE_DEL = {0x00AD: None, 0x200B: None, 0xFEFF: None}
+
 # Inline-style invisibility: readability's isProbablyVisible drops nodes
 # with display:none / visibility:hidden, the [hidden] attribute, or
 # aria-hidden="true". CSS-class-resolved hiding (.ad{display:none}) is
@@ -294,6 +297,13 @@ class _Tokenizer(HTMLParser):
     def handle_data(self, data: str) -> None:
         if self._drop_depth > 0 or not self._blocks:
             return
+        if not data:
+            return
+        # Invisible layout hints pollute extraction (dedup misses, token
+        # waste): soft hyphen U+00AD, zero-width space U+200B, in-text
+        # BOM U+FEFF. ZWJ/ZWNJ (U+200D/U+200C) are NOT stripped — they
+        # are semantic in emoji sequences and Indic/Persian shaping.
+        data = data.translate(_INVISIBLE_DEL)
         if not data:
             return
         blk = self._blocks[-1]
