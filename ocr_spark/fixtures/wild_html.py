@@ -777,4 +777,28 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "The shipping group announced a framework agreement covering river logistics, with zerowidth breaks the CMS inserts between compound words and a stray byte-order mark mid-sentence.\n\n"
         "Family emoji stay joined: 👨‍👩‍👧 appears exactly as published, because zero-width joiners are meaning, not layout.",
     ),
+    (
+        59,
+        "br line breaks separate words; wbr renders nothing",
+        """<body><main><article>
+        <h1>Poem of the day: harbour dusk</h1>
+        <p>The harbour lights go dim at dusk<br>and every mast a shadow casts<br/>upon the quiet water.</p>
+        <p>Subscribers can read the accompanying essay on Rotterdamseplein&shy;straat's ship<wbr>building quarter in the weekend edition.</p>
+        </article></main></body>""",
+        "Poem of the day: harbour dusk\n\n"
+        "The harbour lights go dim at dusk and every mast a shadow casts upon the quiet water.\n\n"
+        "Subscribers can read the accompanying essay on Rotterdamsepleinstraat's shipbuilding quarter in the weekend edition.",
+    ),
+    (
+        60,
+        "MathML annotation source never doubles the rendered formula",
+        """<body><main><article>
+        <h1>The quadratic formula explained</h1>
+        <p>The discriminant decides everything: <math><semantics><mrow><msup><mi>b</mi><mn>2</mn></msup><mo>-</mo><mn>4</mn><mi>a</mi><mi>c</mi></mrow><annotation encoding="application/x-tex">b^{2}-4ac</annotation></semantics></math> must be nonnegative for the roots to be real.</p>
+        <p>When it is exactly zero the parabola touches the axis once, a case teachers love for its tidiness.</p>
+        </article></main></body>""",
+        "The quadratic formula explained\n\n"
+        "The discriminant decides everything: b2-4ac must be nonnegative for the roots to be real.\n\n"
+        "When it is exactly zero the parabola touches the axis once, a case teachers love for its tidiness.",
+    ),
 ]

@@ -60,12 +60,14 @@ from ocr_spark.config import (
 # Ruby annotations (rt: the reading gloss, rp: its non-ruby-browser
 # parentheses) annotate the base text a reader reads linearly — keeping
 # them would double every CJK term ("東京(とうきょう)") in the
-# extraction (wild case 57).
+# extraction (wild case 57). MathML <annotation>/<annotation-xml> carry
+# the formula's source encoding (TeX/content MathML) alongside the
+# presentation tokens — keeping them doubles every formula (wild case 60).
 _DROP_TAGS = frozenset(
     (
         "script style noscript template svg head title iframe object embed "
         "button select option textarea datalist video audio canvas dialog "
-        "rt rp"
+        "rt rp annotation annotation-xml"
     ).split()
 )
 # Hard-negative containers: ancestry in one of these zeroes the score.
@@ -179,10 +181,22 @@ class _Tokenizer(HTMLParser):
         self._text_pos = 0  # monotonic document-order text counter
 
     # -- tag events ------------------------------------------------------
+    def _count_childless(self, tag: str) -> None:
+        # void or self-closing element: count it, no stack push. <br> is a
+        # rendered line break: without a separator the words on both sides
+        # would fuse ("dusk<br>and" → duskand). <wbr> is NOT one — it
+        # renders nothing.
+        if self._drop_depth == 0 and self._blocks:
+            blk = self._blocks[-1]
+            blk.n_tags += 1
+            if tag == "br" and blk.parts:
+                blk.parts.append(" ")
+                if self._a_depth > 0:
+                    blk.link_parts.append(" ")
+
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _VOID_TAGS:
-            if self._drop_depth == 0 and self._blocks:
-                self._blocks[-1].n_tags += 1
+            self._count_childless(tag)
             return
         drop = self._drop_depth > 0 or tag in _DROP_TAGS
         neg_bump = False
@@ -262,9 +276,7 @@ class _Tokenizer(HTMLParser):
         self._elems.append(_Elem(tag, neg_bump, content_bump, drop, is_block, is_a))
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        # self-closing non-void tag: count it, no stack push
-        if self._drop_depth == 0 and self._blocks:
-            self._blocks[-1].n_tags += 1
+        self._count_childless(tag)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _VOID_TAGS:
