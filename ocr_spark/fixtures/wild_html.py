@@ -801,4 +801,16 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "The discriminant decides everything: b2-4ac must be nonnegative for the roots to be real.\n\n"
         "When it is exactly zero the parabola touches the axis once, a case teachers love for its tidiness.",
     ),
+    (
+        61,
+        "progress/meter widget fallback text never extracted",
+        """<body><main><article>
+        <h1>Fundraiser passes the halfway mark</h1>
+        <p>The restoration appeal reached fifty-eight percent of its goal this week, driven by a surge of small donations after the open day.</p>
+        <p>Campaign progress: <progress max="100" value="58">58 percent complete so far</progress> <meter min="0" max="10" value="7">7 out of 10 donor rating</meter> according to the live tracker.</p>
+        </article></main></body>""",
+        "Fundraiser passes the halfway mark\n\n"
+        "The restoration appeal reached fifty-eight percent of its goal this week, driven by a surge of small donations after the open day.\n\n"
+        "Campaign progress: according to the live tracker.",
+    ),
 ]

@@ -67,7 +67,7 @@ _DROP_TAGS = frozenset(
     (
         "script style noscript template svg head title iframe object embed "
         "button select option textarea datalist video audio canvas dialog "
-        "rt rp annotation annotation-xml"
+        "rt rp annotation annotation-xml progress meter"
     ).split()
 )
 # Hard-negative containers: ancestry in one of these zeroes the score.
