@@ -133,3 +133,61 @@ def test_odd_length_data_chunk_word_aligned():
     assert len(wav) % 2 == 0
     y, _ = decode_wav(wav)
     assert len(y) == 333
+
+
+# ---- G.711 µ-law / A-law (WAVE format tags 7 / 6) ----
+
+
+def test_g711_itu_expansion_vectors():
+    """The decode LUTs reproduce the canonical ITU-T G.711 expansions:
+    µ-law codes 0xFF/0x7F are the two zeros and 0x80/0x00 the extremes
+    (±32124); A-law 0xD5/0x55 are the smallest magnitudes (±8, no true
+    zero) and 0xAA/0x2A the extremes (±32256)."""
+    from ocr_spark.kernels.wav import _ALAW_LUT, _ULAW_LUT
+
+    assert _ULAW_LUT[0xFF] == 0 and _ULAW_LUT[0x7F] == 0
+    assert _ULAW_LUT[0x80] == 32124 and _ULAW_LUT[0x00] == -32124
+    assert _ALAW_LUT[0xD5] == 8 and _ALAW_LUT[0x55] == -8
+    assert _ALAW_LUT[0xAA] == 32256 and _ALAW_LUT[0x2A] == -32256
+
+
+@pytest.mark.parametrize("encoding", ["ulaw", "alaw"])
+def test_g711_roundtrip_snr(encoding):
+    """Companded 8-bit roundtrip reaches telephony-grade quality (>30 dB
+    SNR on a speech-band tone) and stays inside the [-1, 1] contract."""
+    t = np.linspace(0, 1, 4000)
+    x = 0.6 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 1200 * t)
+    y, sr = decode_wav(encode_wav(x, 8000, encoding=encoding))
+    assert sr == 8000 and len(y) == len(x)
+    assert np.all(y >= -1.0) and np.all(y <= 1.0)
+    snr = 10 * np.log10((x**2).mean() / ((y - x) ** 2).mean())
+    assert snr > 30, snr
+
+
+@pytest.mark.parametrize("tag", [6, 7])
+def test_g711_arbitrary_codes_decode_total(tag):
+    """Every 8-bit code is a valid G.711 sample: arbitrary data bytes
+    decode without error and inside [-1, 1] (fuzz-style totality)."""
+    data = bytes(range(256)) * 3
+    fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    y, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert len(y) == 768
+    assert np.all(y >= -1.0) and np.all(y <= 1.0)
+
+
+def test_g711_16bit_fmt_rejected():
+    wav = bytearray(encode_wav(_tone(), encoding="ulaw"))
+    fmt_at = wav.index(b"fmt ") + 8
+    struct.pack_into("<H", wav, fmt_at + 14, 16)  # lie: 16-bit G.711
+    with pytest.raises(ValueError):
+        decode_wav(bytes(wav))
+
+
+def test_unknown_encoding_rejected():
+    with pytest.raises(ValueError, match="encoding"):
+        encode_wav(_tone(), encoding="gsm")
