@@ -202,34 +202,34 @@ class _Tokenizer(HTMLParser):
         neg_bump = False
         attr_pos = False
         role = ""
+        attr_text = None
         if not drop and attrs:
-            # invisible-at-parse nodes are dropped subtrees (readability's
-            # isProbablyVisible): [hidden], aria-hidden="true", or inline
-            # display:none / visibility:hidden
-            hidden = False
+            # ONE pass over the (already hint-filtered) attrs collects the
+            # chrome text (class/id), the ARIA landmark role, and the
+            # invisible-at-parse signals (readability's isProbablyVisible:
+            # [hidden], aria-hidden="true", inline display:none /
+            # visibility:hidden) — this runs for every attributed tag, so
+            # it stays a single loop with cheap branches
             for k, v in attrs:
-                if k == "hidden":
-                    hidden = True
+                if k == "class" or k == "id":
+                    if v:
+                        attr_text = v if attr_text is None else attr_text + " " + v
+                elif k == "hidden":
+                    drop = True
                 elif k == "aria-hidden":
                     if v is not None and v.strip().lower() == "true":
-                        hidden = True
+                        drop = True
                 elif k == "style":
                     if v and _HIDDEN_STYLE_RE.search(v):
-                        hidden = True
+                        drop = True
                 elif k == "role":
                     if v:
                         role = v.strip().lower()
-            if hidden:
-                drop = True
         if not drop:
             attr_neg = False
-            if attrs:  # scanner passes class/id/role/style/hidden only
-                attr_text = " ".join(
-                    v for k, v in attrs if k in ("class", "id") and v
-                )
-                if attr_text:
-                    attr_neg = bool(_NEG_ATTR_RE.search(attr_text))
-                    attr_pos = bool(_POS_ATTR_RE.search(attr_text))
+            if attr_text is not None:
+                attr_neg = bool(_NEG_ATTR_RE.search(attr_text))
+                attr_pos = bool(_POS_ATTR_RE.search(attr_text))
             if role:
                 if role in _NEG_ROLES:
                     attr_neg = True
@@ -315,9 +315,12 @@ class _Tokenizer(HTMLParser):
         # waste): soft hyphen U+00AD, zero-width space U+200B, in-text
         # BOM U+FEFF. ZWJ/ZWNJ (U+200D/U+200C) are NOT stripped — they
         # are semantic in emoji sequences and Indic/Persian shaping.
-        data = data.translate(_INVISIBLE_DEL)
-        if not data:
-            return
+        # Membership test first: `in` is a C scan, translate walks the
+        # string through dict lookups, and nearly all text has none.
+        if "\xad" in data or "\u200b" in data or "\ufeff" in data:
+            data = data.translate(_INVISIBLE_DEL)
+            if not data:
+                return
         blk = self._blocks[-1]
         if data.isspace():
             # keep inter-element whitespace (collapsed at emit), but it

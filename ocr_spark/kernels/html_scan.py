@@ -54,7 +54,12 @@ _ATTR_RE = re.compile(
     r"""(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+)))?""",
     re.IGNORECASE,
 )
-_ATTR_HINTS = ("class", "id", "role", "style", "hidden")
+# fast path for the overwhelmingly common case: only class/id present
+# (value required — unlike ``hidden``, they are never bare booleans)
+_CLASSID_RE = re.compile(
+    r"""(?<![\w-])(class|id)(?![\w-])\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""",
+    re.IGNORECASE,
+)
 
 # raw-text containers: content is NOT markup until the literal close tag.
 # html.parser's CDATA_CONTENT_ELEMENTS is exactly (script, style) — keep in
@@ -69,10 +74,16 @@ def _attrs_of(attr_str: str) -> list[tuple[str, str | None]]:
     if not attr_str:
         return []
     low = attr_str.lower()  # CLASS=/ID= must hit the fast-path guard too
-    if not any(h in low for h in _ATTR_HINTS):
+    # explicit or-chains: `in` is a C scan and these guards run per tag —
+    # a genexpr + any() costs more than all the scans together. The
+    # extended regex (optional values, six names) only runs when a
+    # role/style/hidden hint is present; the common class/id-only tag
+    # takes the tight value-required regex.
+    ext = "role" in low or "style" in low or "hidden" in low
+    if not ext and "class" not in low and "id" not in low:
         return []
     out = []
-    for m in _ATTR_RE.finditer(attr_str):
+    for m in (_ATTR_RE if ext else _CLASSID_RE).finditer(attr_str):
         if m.group(2) is None and m.group(3) is None and m.group(4) is None:
             # bare boolean attribute (hidden) — html.parser reports None
             out.append((m.group(1).lower(), None))
