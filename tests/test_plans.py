@@ -193,3 +193,31 @@ def test_dedup_chunks_no_cartesian_and_pruned_freq(spark):
     plan = explain_str(kept, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_ocr_is_map_only(spark):
+    """Video-frame OCR never shuffles: one scan, one MapInPandas, zero
+    exchanges — the payload is dropped inside the stage, so at scale the
+    frame-text table multiplies rows without ever moving video bytes
+    across the network."""
+    import numpy as np
+
+    from ocr_spark.kernels.avi import encode_avi
+    from ocr_spark.kernels.font import render_line_font
+    from ocr_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        recognize_video_frames,
+    )
+    from ocr_spark.plans.inspect import count_exchanges
+
+    frames = np.stack(
+        [(render_line_font("plan")[0] * 255).astype(np.uint8)]
+    )
+    media = spark.createDataFrame(
+        [(1, "u", "video", bytearray(encode_avi(frames, codec="mjpg")),
+          (384, 8, 1, None, "video/avi"))],
+        MEDIA_SCHEMA,
+    )
+    df = recognize_video_frames(media)
+    assert count_exchanges(df) == 0
+    assert df.collect()[0].text == "plan"
