@@ -813,4 +813,20 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "The restoration appeal reached fifty-eight percent of its goal this week, driven by a surge of small donations after the open day.\n\n"
         "Campaign progress: according to the live tracker.",
     ),
+    (
+        62,
+        "terse numeric data table drops as cell soup; surrounding prose kept (complement of case 12)",
+        """<body><main><article>
+        <h1>Quarterly results by region</h1>
+        <p>The company reported stronger volumes across all regions, with the detail broken out in the table below for reference.</p>
+        <table><caption>Revenue by region, in millions</caption>
+        <tr><th>Region</th><th>Revenue</th></tr>
+        <tr><td>North</td><td>120</td></tr>
+        <tr><td>South</td><td>95</td></tr></table>
+        <p>The northern region led for a third consecutive quarter on stronger port volumes and a new international service.</p>
+        </article></main></body>""",
+        "Quarterly results by region\n\n"
+        "The company reported stronger volumes across all regions, with the detail broken out in the table below for reference.\n\n"
+        "The northern region led for a third consecutive quarter on stronger port volumes and a new international service.",
+    ),
 ]
