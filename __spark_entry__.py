@@ -525,13 +525,19 @@ def q_ocr_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over REAL container bytes, both image codecs:
+    """Multimodal plumbing over REAL container bytes, all four codecs:
 
-    - EVEN doc_ids: the doc's text bytes become the pixel rows of an
+    - doc_id % 4 == 0: the doc's text bytes become the pixel rows of an
       8×min(n,384) grayscale image, encoded as an actual PNG
       (``kernels.png``, stored-deflate level 0 so the byte size has the
       closed form 76 + 8·W), decoded back via signature sniff + IHDR
       parse + inflate + unfilter.
+    - doc_id % 4 == 2: AUDIO — a 16-bit PCM WAV (``kernels.wav``) whose
+      samples are the doc's first min(n,2000) codepoints mapped to
+      (cp % 256)·200 − 25500 (full int16 headroom, roundtrip-exact), so
+      the oracle predicts the decoded sample sum AND the container byte
+      size (44 + 2n) closed-form — both exist only after the RIFF walk
+      + sample decode.
     - doc_id % 4 == 1: a per-8×8-block-uniform grayscale image (W = 8·(1
       + doc_id % 5), H = 16, block b value (doc_id·7 + 13·b) % 251)
       encoded as an actual JPEG (``kernels.jpeg``, quality 90 — baseline
@@ -556,6 +562,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.kernels.avi import encode_avi
     from ocr_spark.kernels.jpeg import encode_jpeg
     from ocr_spark.kernels.png import encode_png
+    from ocr_spark.kernels.wav import encode_wav
     from ocr_spark.operators.multimodal import extract_media_features
 
     def media_fn(batches):
@@ -576,7 +583,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
                 kind = "image"
-                if doc_id % 2 == 0:
+                if doc_id % 4 == 0:
                     b = str(text).encode("utf-8")
                     w = min(max(len(b), 1), 384)
                     pix = np.tile(
@@ -584,6 +591,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         8 * w // max(len(b), 1) + 8,
                     )[: 8 * w].reshape(8, w)
                     payload = encode_png(pix, level=0)
+                elif doc_id % 4 == 2:
+                    # codepoint-derived int16 samples, roundtrip-exact:
+                    # |v| <= 25500 < 32767 and v/32767*32767 rounds back
+                    kind = "audio"
+                    cps = [ord(c) for c in str(text)[:2000]] or [0]
+                    vals = np.array(cps, dtype=np.int64) % 256 * 200 - 25500
+                    payload = encode_wav(
+                        vals.astype(np.float64) / 32767.0, sample_rate=8000
+                    )
                 elif doc_id % 4 == 1:
                     # doc_id % 8 == 5 ships SOF2 progressive: same
                     # quantized coefficients, same exact DC-only pixel
@@ -644,14 +660,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         "fmt",
-        # closed-form-checkable per format: PNG byte size, JPEG/AVI sums
-        F.when(F.col("fmt") == "png", F.col("payload_bytes")).alias(
-            "payload_bytes"
-        ),
+        # closed-form-checkable per format: PNG/WAV byte sizes,
+        # JPEG/AVI/WAV decode checksums
+        F.when(
+            F.col("fmt").isin("png", "wav"), F.col("payload_bytes")
+        ).alias("payload_bytes"),
         "decoded_w",
         "decoded_h",
         F.when(
-            F.col("fmt").isin("jpeg", "avi"), F.col("pixel_sum")
+            F.col("fmt").isin("jpeg", "avi", "wav"), F.col("pixel_sum")
         ).alias("pixel_sum"),
     )
 
@@ -1500,42 +1517,64 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "media_features": """
-            -- even docs: PNG, W = min(n_text_bytes, 384), 8 rows of W px,
-            -- filter-0 scanlines, stored-deflate: 8+25+12+12 fixed chunk
-            -- overhead + (2 + 5 + 8*(W+1) + 4) zlib framing = 76 + 8*W.
+            -- doc_id%4==0: PNG, W = min(n_text_bytes, 384), 8 rows of W
+            -- px, filter-0 scanlines, stored-deflate: 8+25+12+12 fixed
+            -- chunk overhead + (2 + 5 + 8*(W+1) + 4) zlib framing
+            -- = 76 + 8*W.
+            -- doc_id%4==2: 16-bit PCM WAV of n = min(n_chars, 2000)
+            -- samples v_i = (codepoint_i % 256)*200 - 25500 (empty text
+            -- -> one codepoint-0 sample); container bytes = 44 + 2n,
+            -- decoded sample sum = sum(v_i).
             -- doc_id%4==1: baseline JPEG, W = 8*(1+doc_id%5), H = 16,
             -- per-block-uniform values v_b = (doc_id*7+13*b) % 251 which
             -- are DC-exact at q90, so the decoded pixel sum is 64*sum(v_b).
             -- doc_id%4==3: MJPG AVI of 1+doc_id%3 DC-exact frames, frame f
             -- block b value (doc_id*7+13*b+17*f) % 251; the checksum spans
             -- all frames: 64 * sum over f,b.
-            SELECT doc_id AS media_id,
-                   CASE WHEN doc_id % 4 = 3 THEN 'video'
+            WITH n_audio AS (
+              SELECT doc_id, least(greatest(length(text), 1), 2000) AS n
+              FROM documents
+            )
+            SELECT d.doc_id AS media_id,
+                   CASE WHEN d.doc_id % 4 = 3 THEN 'video'
+                        WHEN d.doc_id % 4 = 2 THEN 'audio'
                         ELSE 'image' END AS kind,
-                   CASE WHEN doc_id % 2 = 0 THEN 'png'
-                        WHEN doc_id % 4 = 1 THEN 'jpeg'
+                   CASE WHEN d.doc_id % 4 = 0 THEN 'png'
+                        WHEN d.doc_id % 4 = 2 THEN 'wav'
+                        WHEN d.doc_id % 4 = 1 THEN 'jpeg'
                         ELSE 'avi' END AS fmt,
-                   CASE WHEN doc_id % 2 = 0 THEN
-                     CAST(76 + 8 * least(greatest(octet_length(encode(text)), 1),
-                                         384) AS BIGINT) END AS payload_bytes,
-                   CAST(CASE WHEN doc_id % 2 = 0 THEN
-                     least(greatest(octet_length(encode(text)), 1), 384)
-                     ELSE 8 * (1 + doc_id % 5) END AS INTEGER) AS decoded_w,
-                   CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END
-                        AS INTEGER) AS decoded_h,
-                   CASE WHEN doc_id % 4 = 1 THEN
+                   CASE WHEN d.doc_id % 4 = 0 THEN
+                     CAST(76 + 8 * least(greatest(octet_length(encode(d.text)), 1),
+                                         384) AS BIGINT)
+                   WHEN d.doc_id % 4 = 2 THEN CAST(44 + 2 * a.n AS BIGINT)
+                   END AS payload_bytes,
+                   CAST(CASE WHEN d.doc_id % 4 = 0 THEN
+                     least(greatest(octet_length(encode(d.text)), 1), 384)
+                     WHEN d.doc_id % 4 = 2 THEN a.n
+                     ELSE 8 * (1 + d.doc_id % 5) END AS INTEGER) AS decoded_w,
+                   CAST(CASE WHEN d.doc_id % 4 = 0 THEN 8
+                        WHEN d.doc_id % 4 = 2 THEN 1
+                        ELSE 16 END AS INTEGER) AS decoded_h,
+                   CASE WHEN d.doc_id % 4 = 1 THEN
                      CAST(64 * list_sum(list_transform(
-                         range(2 * (1 + doc_id % 5)),
-                         b -> (doc_id * 7 + 13 * b) % 251)) AS BIGINT)
-                   WHEN doc_id % 4 = 3 THEN
+                         range(2 * (1 + d.doc_id % 5)),
+                         b -> (d.doc_id * 7 + 13 * b) % 251)) AS BIGINT)
+                   WHEN d.doc_id % 4 = 2 THEN
+                     CAST(CASE WHEN length(d.text) = 0 THEN -25500 ELSE
+                       list_sum(list_transform(
+                           range(a.n),
+                           i -> (ascii(substr(d.text, CAST(i AS INTEGER) + 1, 1))
+                                 % 256) * 200 - 25500))
+                     END AS BIGINT)
+                   WHEN d.doc_id % 4 = 3 THEN
                      CAST(64 * list_sum(flatten(list_transform(
-                         range(1 + doc_id % 3),
+                         range(1 + d.doc_id % 3),
                          f -> list_transform(
-                             range(2 * (1 + doc_id % 5)),
-                             b -> (doc_id * 7 + 13 * b + 17 * f) % 251))))
+                             range(2 * (1 + d.doc_id % 5)),
+                             b -> (d.doc_id * 7 + 13 * b + 17 * f) % 251))))
                        AS BIGINT)
                    END AS pixel_sum
-            FROM documents
+            FROM documents d JOIN n_audio a USING (doc_id)
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

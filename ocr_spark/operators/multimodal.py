@@ -57,7 +57,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
-        # container format by signature sniff: 'png' | 'jpeg' | 'avi' | 'fake'
+        # container format by sniff: 'png'|'jpeg'|'avi'|'wav'|'fake'
         T.StructField("fmt", T.StringType()),
         T.StructField("payload_bytes", T.LongType()),
         T.StructField("payload_crc", T.LongType()),
@@ -150,6 +150,7 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             w = int(meta["width"] or 16)
             h = int(meta["height"] or 16)
             frame_sum = None
+            fmt = None
             try:
                 if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
                     # video container: real AVI parse (DIB or MJPG). The
@@ -165,6 +166,20 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         sum(f.astype(np.int64).sum() for f in frames)
                     )
                     img = frames[0].astype(np.float32) / 255.0
+                    fmt = "avi"
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    # audio container: real WAV parse (PCM or G.711). The
+                    # checksum is the int16-scale sample sum — it only
+                    # exists after the RIFF walk + sample decode; dims are
+                    # (1, n_samples), the 1-D analog of a raster.
+                    from ocr_spark.kernels.wav import decode_wav
+
+                    samples, _sr = decode_wav(payload)
+                    img = samples.reshape(1, -1)
+                    frame_sum = int(
+                        np.rint(samples * 32767.0).astype(np.int64).sum()
+                    )
+                    fmt = "wav"
                 else:
                     img = decode_image(payload, w, h)
             except (ValueError, zlib.error):
@@ -174,9 +189,7 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             feat = _pool_bands(img)
             ids.append(int(mid))
             kinds.append(kind)
-            fmts.append(
-                "avi" if frame_sum is not None else sniff_image_fmt(payload)
-            )
+            fmts.append(fmt if fmt is not None else sniff_image_fmt(payload))
             sizes.append(len(payload))
             crcs.append(zlib.crc32(payload))
             dhs.append(int(img.shape[0]))

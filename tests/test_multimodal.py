@@ -75,10 +75,11 @@ def test_feature_fmt_sniff_and_jpeg_decode(spark):
         r = rows[i]
         assert (r.decoded_w, r.decoded_h) == (16, 16)
         assert r.pixel_sum is not None and r.pixel_sum > 0
-    # audio WAV is RIFF but not an image/video container → fake label;
+    # audio WAV decodes for real: (1, n_samples) dims, int16-scale sum;
     # video AVI decodes for real: dims from frame 0, checksum over ALL
     # 16 frames (so it dwarfs a single 16×16 frame's max sum)
-    assert rows[1].fmt == "fake"
+    assert rows[1].fmt == "wav"
+    assert (rows[1].decoded_w, rows[1].decoded_h) == (16000, 1)
     assert rows[2].fmt == "avi"
     assert (rows[2].decoded_w, rows[2].decoded_h) == (16, 16)
     assert rows[2].pixel_sum > 16 * 16 * 255
