@@ -38,7 +38,18 @@ def main() -> None:
             "dedup_embedding,dedup_simhash_pairs,dedup_chunks,text_redact,curate_corpus,curate_sample,text_lm,text_contamination,dedup_clusters"
         ),
     )
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--reps",
+        type=int,
+        default=2,
+        help=(
+            "minimum timed reps per query (default 2). For reps >= 2 an "
+            "ADAPTIVE floor applies: reps continue (up to max(reps, 5)) "
+            "until the two fastest agree within 20%% — see the noise "
+            "postmortems in BASELINE.md. Pass --reps 1 for an explicit "
+            "single-timed-rep run with no adaptation."
+        ),
+    )
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
@@ -80,7 +91,9 @@ def main() -> None:
     # until the two fastest reps agree within 20% — steady state reached —
     # or the rep cap; the recorded best is then an agreed measurement,
     # not a lucky (or unlucky) draw.
-    max_reps = max(args.reps, 5)
+    # --reps 1 is an explicit escape hatch: exactly one timed rep, no
+    # adaptive floor (the flag then means what it says).
+    max_reps = 1 if args.reps == 1 else max(args.reps, 5)
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:

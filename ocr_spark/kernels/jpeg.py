@@ -168,12 +168,16 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=8)
 def _build_decode_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> list[int]:
     """16-bit-peek Huffman LUT: index = the next 16 bits of the stream,
     entry = ``(code_length << 8) | symbol`` (0 for bit patterns that are
     no valid code). Cached — the Annex-K tables shared by every standard
-    JPEG build their 64Ki table once per process, not once per image."""
+    JPEG build their 64Ki table once per process, not once per image.
+    maxsize=8 keeps the four Annex-K tables (+ a working set) resident
+    while bounding the per-executor footprint to ~16 MB: real corpora of
+    optimizer-encoded JPEGs carry unique per-image tables, so a large
+    cache would pin ~2 MB per slot at near-zero hit rate."""
     if sum(bits) != len(vals) or sum(bits) > 256:
         raise ValueError("malformed Huffman table")
     lut = np.zeros(65536, dtype=np.int32)
@@ -1156,6 +1160,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("truncated before SOS")
         if data[pos] != 0xFF:
             raise ValueError("marker sync lost")
+        # T.81 §B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so FF FF D9 parses as EOI, not as a
+        # bogus 0xFF "marker" with a garbage length field.
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:
@@ -1229,11 +1238,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode (SOF{marker - 0xC0}: lossless/"
-                "arithmetic/hierarchical)"
+                "arithmetic/hierarchical/JPG-extension)"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:

@@ -56,9 +56,32 @@ def _cached_pages(
     if base.lower() in ("off", "0", "none"):
         return build()
     if not base:
-        base = os.path.join(tempfile.gettempdir(), "ocr_spark_fixture_cache")
+        # user-private by default (0700), not a fixed world-readable /tmp
+        # path shared across users
+        base = os.path.join(
+            os.path.expanduser("~"), ".cache", "ocr_spark_fixture_cache"
+        )
+        os.makedirs(base, mode=0o700, exist_ok=True)
+    # The key fingerprints the INPUT table contents (size+mtime of every
+    # file under documents.parquet), not just its path — regenerating the
+    # corpus in place invalidates the cache without a manual version bump.
+    # _FIXTURE_VERSION still covers generator-code changes.
+    doc_path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    fp_parts = []
+    for p in sorted(
+        [doc_path, *(
+            os.path.join(doc_path, f)
+            for f in (os.listdir(doc_path) if os.path.isdir(doc_path) else [])
+        )]
+    ):
+        try:
+            st = os.stat(p)
+            fp_parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            fp_parts.append(f"{p}:missing")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{kind}|{_FIXTURE_VERSION}".encode()
+        f"{os.path.abspath(sf_dir)}|{kind}|{_FIXTURE_VERSION}|"
+        f"{'|'.join(fp_parts)}".encode()
     ).hexdigest()[:16]
     path = os.path.join(base, f"{kind}-{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

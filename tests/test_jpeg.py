@@ -778,3 +778,30 @@ def test_cmyk_jpeg_dims():
     assert jpeg_dims(stream) == (24, 8, 4)
     g = jpeg_to_gray_float(stream)
     assert g.shape == (8, 24) and g.dtype == np.float32
+
+
+def test_sof_c8_jpg_extension_rejected_cleanly():
+    """SOF 0xC8 (the JPG extension marker) is not a supported mode and
+    must fail with the 'unsupported JPEG mode' diagnosis, not a
+    downstream misparse (round-4 ADVICE)."""
+    b = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof = bytes(b).index(b"\xff\xc0")
+    b[sof + 1] = 0xC8
+    with pytest.raises(ValueError, match="unsupported JPEG mode"):
+        decode_jpeg(bytes(b))
+
+
+def test_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    encoders in the wild emit them. Splice fill bytes ahead of the DQT,
+    SOF, SOS, and EOI markers of a valid stream — decode must be
+    unchanged (round-4 ADVICE: previously misparsed as a bogus segment)."""
+    img = _smooth((16, 16))
+    src = encode_jpeg(img)
+    ref = decode_jpeg(src)
+    b = bytearray(src)
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xda", b"\xff\xd9"):
+        i = bytes(b).index(marker)
+        b[i:i] = b"\xff\xff\xff"  # fill bytes + the marker's own 0xFF
+    out = decode_jpeg(bytes(b))
+    assert np.array_equal(out, ref)
