@@ -532,12 +532,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``kernels.png``, stored-deflate level 0 so the byte size has the
       closed form 76 + 8·W), decoded back via signature sniff + IHDR
       parse + inflate + unfilter.
-    - doc_id % 4 == 2: AUDIO — a 16-bit PCM WAV (``kernels.wav``) whose
-      samples are the doc's first min(n,2000) codepoints mapped to
-      (cp % 256)·200 − 25500 (full int16 headroom, roundtrip-exact), so
-      the oracle predicts the decoded sample sum AND the container byte
-      size (44 + 2n) closed-form — both exist only after the RIFF walk
-      + sample decode.
+    - doc_id % 4 == 2: AUDIO. doc_id % 8 == 2: a 16-bit PCM WAV
+      (``kernels.wav``) whose samples are the doc's first min(n,2000)
+      codepoints mapped to (cp % 256)·200 − 25500 (full int16 headroom,
+      roundtrip-exact), so the oracle predicts the decoded sample sum AND
+      the container byte size (44 + 2n) closed-form — both exist only
+      after the RIFF walk + sample decode. doc_id % 8 == 6: the SAME
+      codepoints become G.711 code bytes (µ-law for doc_id % 16 == 6,
+      A-law for 14; WAVE format tags 7/6) whose linear values are the
+      ITU expansion formulas — the oracle recomputes the expansion per
+      code IN SQL (bias-132 / 0x55-XOR segment math), so the decoded
+      sample sum proves the companded decode path, and the byte size is
+      44 + n + (n % 2) (8-bit samples + RIFF pad byte).
     - doc_id % 4 == 1: a per-8×8-block-uniform grayscale image (W = 8·(1
       + doc_id % 5), H = 16, block b value (doc_id·7 + 13·b) % 251)
       encoded as an actual JPEG (``kernels.jpeg``, quality 90 — baseline
@@ -548,22 +554,33 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       Σ 64·v_b in closed form — a value that only exists after a full
       real decode.
     - doc_id % 4 == 3: VIDEO — a Motion-JPEG AVI (``kernels.avi``,
-      'MJPG' fourcc) of 1 + doc_id % 3 DC-exact frames (frame f block b
-      value (doc_id·7 + 13·b + 17·f) % 251), decoded back via the full
-      RIFF walk + per-frame JPEG decode; the pixel-sum checksum spans
-      ALL frames, so the closed-form Σ_f Σ_b 64·v_{f,b} proves both the
-      container parse (frame count) and every frame's entropy decode.
+      'MJPG' fourcc) of 1 + doc_id % 3 frames. doc_id % 8 == 3: DC-exact
+      block frames (frame f block b value (doc_id·7 + 13·b + 17·f) %
+      251), decoded back via the full RIFF walk + per-frame JPEG decode;
+      the pixel-sum checksum spans ALL frames, so the closed-form
+      Σ_f Σ_b 64·v_{f,b} proves both the container parse (frame count)
+      and every frame's entropy decode. doc_id % 8 == 7: SUBTITLE frames
+      — 8-px glyph strips rendering "v{doc_id}f{f}" per frame f —
+      recognized by ``recognize_video_frames`` (the video-OCR operator);
+      the per-frame texts, ordered and '|'-joined, form the ``frame_text``
+      column whose oracle value is pure string SQL. Recognized text is a
+      stronger full-decode proof than a checksum: every frame's entropy
+      decode AND the recognizer must be correct.
 
-    The oracle checks the sniffed container fmt, the PNG byte size, the
-    decoded dimensions (which only exist inside the payload), and the
-    JPEG/AVI pixel sums."""
+    The oracle checks the sniffed container fmt, the PNG/WAV byte sizes,
+    the decoded dimensions (which only exist inside the payload), the
+    JPEG/AVI/WAV decode checksums, and the video-OCR frame text."""
     import pandas as pd
 
     from ocr_spark.kernels.avi import encode_avi
+    from ocr_spark.kernels.font import render_line_font
     from ocr_spark.kernels.jpeg import encode_jpeg
     from ocr_spark.kernels.png import encode_png
-    from ocr_spark.kernels.wav import encode_wav
-    from ocr_spark.operators.multimodal import extract_media_features
+    from ocr_spark.kernels.wav import encode_wav, g711_linear
+    from ocr_spark.operators.multimodal import (
+        extract_media_features,
+        recognize_video_frames,
+    )
 
     def media_fn(batches):
         import numpy as np
@@ -592,14 +609,32 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )[: 8 * w].reshape(8, w)
                     payload = encode_png(pix, level=0)
                 elif doc_id % 4 == 2:
-                    # codepoint-derived int16 samples, roundtrip-exact:
-                    # |v| <= 25500 < 32767 and v/32767*32767 rounds back
                     kind = "audio"
                     cps = [ord(c) for c in str(text)[:2000]] or [0]
-                    vals = np.array(cps, dtype=np.int64) % 256 * 200 - 25500
-                    payload = encode_wav(
-                        vals.astype(np.float64) / 32767.0, sample_rate=8000
-                    )
+                    if doc_id % 8 == 2:
+                        # codepoint-derived int16 samples, roundtrip-exact:
+                        # |v| <= 25500 < 32767, v/32767*32767 rounds back
+                        vals = (
+                            np.array(cps, dtype=np.int64) % 256 * 200 - 25500
+                        )
+                        payload = encode_wav(
+                            vals.astype(np.float64) / 32767.0,
+                            sample_rate=8000,
+                        )
+                    else:
+                        # G.711: codepoints ARE the code bytes; samples
+                        # are their exact ITU expansions, so nearest-code
+                        # encode roundtrips bit-identically and the
+                        # decoded sum is closed-form
+                        enc = "ulaw" if doc_id % 16 == 6 else "alaw"
+                        lin = g711_linear(
+                            np.array(cps, dtype=np.int64) % 256, enc
+                        )
+                        payload = encode_wav(
+                            lin.astype(np.float64) / 32767.0,
+                            sample_rate=8000,
+                            encoding=enc,
+                        )
                 elif doc_id % 4 == 1:
                     # doc_id % 8 == 5 ships SOF2 progressive: same
                     # quantized coefficients, same exact DC-only pixel
@@ -610,16 +645,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         progressive=doc_id % 8 == 5,
                     )
                 else:
-                    # MJPG AVI of DC-exact frames: the all-frame pixel
-                    # sum is closed-form, provable only by a real
-                    # RIFF walk + per-frame JPEG decode
+                    # MJPG AVI: DC-exact block frames (%8==3, all-frame
+                    # pixel sum closed-form) or 8-px subtitle strips
+                    # (%8==7, recognized text closed-form)
                     kind = "video"
-                    frames = np.stack(
-                        [
-                            block_image(doc_id, f)
-                            for f in range(1 + doc_id % 3)
-                        ]
-                    )
+                    if doc_id % 8 == 3:
+                        frames = np.stack(
+                            [
+                                block_image(doc_id, f)
+                                for f in range(1 + doc_id % 3)
+                            ]
+                        )
+                    else:
+                        frames = np.stack(
+                            [
+                                (
+                                    render_line_font(f"v{doc_id}f{f}")[0]
+                                    * 255
+                                ).astype(np.uint8)
+                                for f in range(1 + doc_id % 3)
+                            ]
+                        )
                     payload = encode_avi(frames, codec="mjpg", quality=90)
                 ids.append(doc_id)
                 urls.append(f"mem://doc/{doc_id}")
@@ -656,20 +702,37 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     feats = extract_media_features(media)
-    return feats.select(
+    # Video-OCR branch: per-frame subtitle recognition, ordered and
+    # '|'-joined per media row. Only the %8==7 subtitle AVIs carry
+    # 8-px-tall (recognizable) frames; block AVIs yield no rows and
+    # stay NULL through the left join. The joined side carries only
+    # (media_id, frame_text) — the payload never reaches the shuffle.
+    subtitles = recognize_video_frames(media).groupBy("media_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_no", "text"))),
+                lambda s: s["text"],
+            ),
+            "|",
+        ).alias("frame_text")
+    )
+    return feats.join(subtitles, "media_id", "left").select(
         "media_id",
         "kind",
         "fmt",
         # closed-form-checkable per format: PNG/WAV byte sizes,
-        # JPEG/AVI/WAV decode checksums
+        # JPEG/AVI/WAV decode checksums, subtitle-AVI recognized text
         F.when(
             F.col("fmt").isin("png", "wav"), F.col("payload_bytes")
         ).alias("payload_bytes"),
         "decoded_w",
         "decoded_h",
         F.when(
-            F.col("fmt").isin("jpeg", "avi", "wav"), F.col("pixel_sum")
+            F.col("fmt").isin("jpeg", "wav")
+            | ((F.col("fmt") == "avi") & (F.col("media_id") % 8 == 3)),
+            F.col("pixel_sum"),
         ).alias("pixel_sum"),
+        "frame_text",
     )
 
 
@@ -1521,16 +1584,25 @@ def oracle_sql() -> dict[str, str]:
             -- px, filter-0 scanlines, stored-deflate: 8+25+12+12 fixed
             -- chunk overhead + (2 + 5 + 8*(W+1) + 4) zlib framing
             -- = 76 + 8*W.
-            -- doc_id%4==2: 16-bit PCM WAV of n = min(n_chars, 2000)
+            -- doc_id%8==2: 16-bit PCM WAV of n = min(n_chars, 2000)
             -- samples v_i = (codepoint_i % 256)*200 - 25500 (empty text
             -- -> one codepoint-0 sample); container bytes = 44 + 2n,
             -- decoded sample sum = sum(v_i).
+            -- doc_id%8==6: G.711 WAV, code bytes c_i = codepoint_i % 256;
+            -- mu-law (%16==6): u = 255-c, t = ((u&15)*8+132)<<((u>>4)&7),
+            -- v = u>=128 ? 132-t : t-132 (ITU bias-132 expansion);
+            -- A-law (%16==14): a = c XOR 85, seg = (a>>4)&7,
+            -- t = seg=0 ? (a&15)*16+8 : ((a&15)*16+264)<<(seg-1),
+            -- v = a&128 ? t : -t. Bytes = 44 + n + n%2 (RIFF pad).
             -- doc_id%4==1: baseline JPEG, W = 8*(1+doc_id%5), H = 16,
             -- per-block-uniform values v_b = (doc_id*7+13*b) % 251 which
             -- are DC-exact at q90, so the decoded pixel sum is 64*sum(v_b).
-            -- doc_id%4==3: MJPG AVI of 1+doc_id%3 DC-exact frames, frame f
+            -- doc_id%8==3: MJPG AVI of 1+doc_id%3 DC-exact frames, frame f
             -- block b value (doc_id*7+13*b+17*f) % 251; the checksum spans
             -- all frames: 64 * sum over f,b.
+            -- doc_id%8==7: MJPG AVI of 1+doc_id%3 subtitle frames (8x384
+            -- glyph strips); frame f renders 'v<doc_id>f<f>', so the
+            -- video-OCR frame_text is the '|'-join of those strings.
             WITH n_audio AS (
               SELECT doc_id, least(greatest(length(text), 1), 2000) AS n
               FROM documents
@@ -1546,34 +1618,67 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.doc_id % 4 = 0 THEN
                      CAST(76 + 8 * least(greatest(octet_length(encode(d.text)), 1),
                                          384) AS BIGINT)
-                   WHEN d.doc_id % 4 = 2 THEN CAST(44 + 2 * a.n AS BIGINT)
+                   WHEN d.doc_id % 8 = 2 THEN CAST(44 + 2 * a.n AS BIGINT)
+                   WHEN d.doc_id % 8 = 6 THEN CAST(44 + a.n + a.n % 2 AS BIGINT)
                    END AS payload_bytes,
                    CAST(CASE WHEN d.doc_id % 4 = 0 THEN
                      least(greatest(octet_length(encode(d.text)), 1), 384)
                      WHEN d.doc_id % 4 = 2 THEN a.n
+                     WHEN d.doc_id % 8 = 7 THEN 384
                      ELSE 8 * (1 + d.doc_id % 5) END AS INTEGER) AS decoded_w,
                    CAST(CASE WHEN d.doc_id % 4 = 0 THEN 8
                         WHEN d.doc_id % 4 = 2 THEN 1
+                        WHEN d.doc_id % 8 = 7 THEN 8
                         ELSE 16 END AS INTEGER) AS decoded_h,
                    CASE WHEN d.doc_id % 4 = 1 THEN
                      CAST(64 * list_sum(list_transform(
                          range(2 * (1 + d.doc_id % 5)),
                          b -> (d.doc_id * 7 + 13 * b) % 251)) AS BIGINT)
-                   WHEN d.doc_id % 4 = 2 THEN
+                   WHEN d.doc_id % 8 = 2 THEN
                      CAST(CASE WHEN length(d.text) = 0 THEN -25500 ELSE
                        list_sum(list_transform(
                            range(a.n),
                            i -> (ascii(substr(d.text, CAST(i AS INTEGER) + 1, 1))
                                  % 256) * 200 - 25500))
                      END AS BIGINT)
-                   WHEN d.doc_id % 4 = 3 THEN
+                   WHEN d.doc_id % 16 = 6 THEN
+                     CAST(CASE WHEN length(d.text) = 0 THEN -32124 ELSE
+                       list_sum(list_transform(
+                           list_transform(range(a.n),
+                             i -> 255 - (ascii(substr(d.text,
+                                     CAST(i AS INTEGER) + 1, 1)) % 256)),
+                           u -> CASE WHEN u >= 128
+                                THEN 132 - (((u & 15) * 8 + 132)
+                                            * (1 << ((u >> 4) & 7)))
+                                ELSE (((u & 15) * 8 + 132)
+                                      * (1 << ((u >> 4) & 7))) - 132 END))
+                     END AS BIGINT)
+                   WHEN d.doc_id % 16 = 14 THEN
+                     CAST(CASE WHEN length(d.text) = 0 THEN -5504 ELSE
+                       list_sum(list_transform(
+                           list_transform(range(a.n),
+                             i -> xor(ascii(substr(d.text,
+                                     CAST(i AS INTEGER) + 1, 1)) % 256, 85)),
+                           s -> (CASE WHEN (s & 128) > 0 THEN 1 ELSE -1 END)
+                                * (CASE WHEN ((s >> 4) & 7) = 0
+                                   THEN (s & 15) * 16 + 8
+                                   ELSE ((s & 15) * 16 + 264)
+                                        * (1 << (((s >> 4) & 7) - 1)) END)))
+                     END AS BIGINT)
+                   WHEN d.doc_id % 8 = 3 THEN
                      CAST(64 * list_sum(flatten(list_transform(
                          range(1 + d.doc_id % 3),
                          f -> list_transform(
                              range(2 * (1 + d.doc_id % 5)),
                              b -> (d.doc_id * 7 + 13 * b + 17 * f) % 251))))
                        AS BIGINT)
-                   END AS pixel_sum
+                   END AS pixel_sum,
+                   CASE WHEN d.doc_id % 8 = 7 THEN
+                     array_to_string(list_transform(
+                         range(1 + d.doc_id % 3),
+                         f -> 'v' || CAST(d.doc_id AS VARCHAR)
+                              || 'f' || CAST(f AS VARCHAR)), '|')
+                   END AS frame_text
             FROM documents d JOIN n_audio a USING (doc_id)
         """,
         "dedup_exact": """

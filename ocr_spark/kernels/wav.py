@@ -40,6 +40,21 @@ def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
 
 
 _ULAW_LUT, _ALAW_LUT = _g711_luts()
+
+
+def g711_linear(codes, encoding: str) -> np.ndarray:
+    """G.711 code bytes (0–255) → ITU linear int16 values via the decode
+    LUT. Public seam for fixtures that need the closed-form expansion
+    (encode ∘ expand of an exact LUT value roundtrips bit-identically,
+    so ``encode_wav(g711_linear(c, e) / 32767.0, encoding=e)`` yields a
+    WAV whose decoded-sample sum is ``sum(g711_linear(c, e))``)."""
+    if encoding == "ulaw":
+        lut = _ULAW_LUT
+    elif encoding == "alaw":
+        lut = _ALAW_LUT
+    else:
+        raise ValueError(f"unknown G.711 encoding {encoding!r}")
+    return lut[np.asarray(codes, dtype=np.int64)]
 # nearest-code encode tables: codes ordered by their linear value
 _ULAW_ORDER = np.argsort(_ULAW_LUT, kind="stable")
 _ALAW_ORDER = np.argsort(_ALAW_LUT, kind="stable")
