@@ -6,17 +6,21 @@ The reference pipeline decodes real image files before detection
 ``DataPreprocess/DataGen.py:423-425`` via OpenCV); this container has no
 image libraries, so the engine carries its own RFC-2083 implementation:
 
-- ``encode_png``: 8-bit grayscale or RGB, non-interlaced, per-scanline
-  filter 0, IDAT deflated at a caller-chosen zlib level (level 0 = stored
-  blocks gives a closed-form byte size, which the media contract oracle
-  exploits; level 6 for realistic fixtures).
-- ``decode_png``: parses IHDR/IDAT/IEND, inflates, and reverses ALL five
-  scanline filters (None/Sub/Up/Average/Paeth) — so it reads PNGs from any
-  conforming encoder, not just its own. Supports bit depth 8, color types
-  0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); alpha is dropped. Interlaced
-  (Adam7) and palette images raise ``ValueError`` — they never occur in
-  this pipeline and a silent wrong decode would be worse than a skip (the
-  callers' malformed-payload discipline turns the raise into a row skip).
+- ``encode_png``: 8-bit grayscale, RGB, or paletted (PLTE) images,
+  non-interlaced, per-scanline filter 0, IDAT deflated at a caller-chosen
+  zlib level (level 0 = stored blocks gives a closed-form byte size, which
+  the media contract oracle exploits; level 6 for realistic fixtures).
+- ``decode_png``: parses IHDR/PLTE/tRNS/IDAT/IEND, inflates, reverses ALL
+  five scanline filters (None/Sub/Up/Average/Paeth), de-interlaces Adam7,
+  and maps palettes — so it reads PNGs from any conforming encoder, not
+  just its own. Supports color types 0 (gray, depths 1/2/4/8/16),
+  2 (RGB, 8/16), 3 (palette, 1/2/4/8), 4 (gray+alpha, 8/16), 6 (RGBA,
+  8/16); alpha (and tRNS transparency) is dropped — the analysis contract
+  is an opaque raster — and 16-bit samples take their most significant
+  byte. Palette and Adam7 support exist because a real crawl's image
+  payloads are full of both (palette PNGs are among the most common
+  image payloads on the web); the skip-never-crash caller discipline
+  still turns any malformed container into a row skip.
 
 Everything is vectorized NumPy except the inherently sequential
 filter-reversal scan over scanlines (prior-row dependencies); within a
@@ -39,6 +43,17 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # declared raster, not the payload — 64 MP ≈ any real web image.
 MAX_DECODE_PIXELS = 64_000_000
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), spec order.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
     return (
@@ -49,17 +64,33 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, level: int = 6) -> bytes:
-    """uint8 array (H, W) grayscale or (H, W, 3) RGB → PNG bytes.
+def encode_png(
+    img: np.ndarray, level: int = 6, palette: np.ndarray | None = None
+) -> bytes:
+    """uint8 array (H, W) grayscale or (H, W, 3) RGB → PNG bytes; with
+    ``palette`` (N≤256 × 3 uint8), ``img`` is an (H, W) index raster and
+    the output is a color-type-3 paletted PNG.
 
     Filter 0 on every scanline: the deflate stream is then a pure function
     of the pixel bytes, and at ``level=0`` the total file size is the
-    closed form ``8 + 25 + 12 + zlib_stored_size(H*(W*C+1)) + 12``.
+    closed form ``8 + 25 + 12 + zlib_stored_size(H*(W*C+1)) + 12``
+    (plus ``12 + 3N`` for the PLTE chunk of a paletted image).
     """
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError(f"encode_png wants uint8, got {img.dtype}")
-    if img.ndim == 2:
+    plte = b""
+    if palette is not None:
+        palette = np.asarray(palette, dtype=np.uint8)
+        if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+            raise ValueError(f"bad palette shape {palette.shape}")
+        if img.ndim != 2:
+            raise ValueError("paletted encode wants an (H, W) index raster")
+        if img.size and int(img.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        color_type, channels = 3, 1
+        plte = _chunk(b"PLTE", palette.tobytes())
+    elif img.ndim == 2:
         color_type, channels = 0, 1
     elif img.ndim == 3 and img.shape[2] == 3:
         color_type, channels = 2, 3
@@ -75,6 +106,7 @@ def encode_png(img: np.ndarray, level: int = 6) -> bytes:
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
+        + plte
         + _chunk(b"IDAT", idat)
         + _chunk(b"IEND", b"")
     )
@@ -94,21 +126,25 @@ def png_size_level0(h: int, w: int, channels: int = 1) -> int:
     return 8 + 25 + 12 + zlib_stored_size(h * (w * channels + 1)) + 12
 
 
-def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
-    """Reverse per-scanline filtering: raw [h, 1+w*bpp] → pixels [h, w*bpp].
+def _unfilter(raw: np.ndarray, n_rows: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering: raw [n_rows, 1+stride] bytes →
+    pixel bytes [n_rows, stride]. ``bpp`` is the filter delta in BYTES
+    (max(1, bits_per_pixel // 8) per the spec — sub-byte depths filter
+    on whole bytes).
 
     Fast path: a file whose every scanline uses filter 0 (this module's
     own encoder, and most screenshot-style tools at low effort) decodes
     as a single slice — no per-row scan. Only mixed/nonzero filters pay
     the sequential reversal."""
-    stride = w * bpp
     if not raw[:, 0].any():
         return raw[:, 1:].copy()
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
+    for y in range(n_rows):
         ftype = int(raw[y, 0])
         line = raw[y, 1:].astype(np.int64)
-        prior = out[y - 1].astype(np.int64) if y > 0 else np.zeros(stride, np.int64)
+        prior = (
+            out[y - 1].astype(np.int64) if y > 0 else np.zeros(stride, np.int64)
+        )
         if ftype == 0:  # None
             rec = line
         elif ftype == 1:  # Sub
@@ -138,16 +174,43 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     return out
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array (H, W) for grayscale, (H, W, 3) for color.
+def _rows_to_samples(
+    rows: np.ndarray, pw: int, depth: int, channels: int
+) -> np.ndarray:
+    """Unfiltered scanline bytes [ph, stride] → per-pixel samples
+    [ph, pw, channels] (uint8; 16-bit samples reduced to their MSB,
+    sub-byte samples unpacked but NOT rescaled — gray rescale / palette
+    mapping happens on the assembled raster)."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(ph, pw, channels)
+    if depth == 16:
+        return rows.reshape(ph, pw, channels, 2)[:, :, :, 0]
+    # depth 1/2/4: single-channel only (gray or palette indices)
+    bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8).reshape(ph, pw, 1)
 
-    Alpha channels are dropped. Raises ``ValueError`` on anything that is
-    not an 8-bit non-interlaced gray/RGB(A) PNG."""
+
+_DEPTHS_OK = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+              4: (8, 16), 6: (8, 16)}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (H, W) for grayscale, (H, W, 3) for color
+    (including paletted images, which map through PLTE to RGB).
+
+    Alpha channels and tRNS transparency are dropped; 16-bit samples keep
+    their most significant byte; Adam7 interlacing is de-interlaced.
+    Raises ``ValueError`` on anything malformed or outside the supported
+    color-type/depth matrix."""
     if not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     w = h = None
-    color_type = None
+    depth = color_type = interlace = None
+    plte: np.ndarray | None = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
@@ -171,34 +234,94 @@ def decode_png(data: bytes) -> np.ndarray:
             # allocation via the +1 filter byte per row
             if w > 1 << 20 or h > 1 << 20 or w * h > MAX_DECODE_PIXELS:
                 raise ValueError(f"refusing {w}x{h} raster (hostile header?)")
-            if depth != 8:
-                raise ValueError(f"unsupported bit depth {depth}")
-            if color_type not in (0, 2, 4, 6):
+            if color_type not in _DEPTHS_OK:
                 raise ValueError(f"unsupported color type {color_type}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
+            if depth not in _DEPTHS_OK[color_type]:
+                raise ValueError(
+                    f"unsupported bit depth {depth} for color type {color_type}"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+        elif tag == b"PLTE":
+            if length % 3 or length > 768 or length == 0:
+                raise ValueError(f"bad PLTE length {length}")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
             break
+        # tRNS and all ancillary chunks: skipped (transparency dropped)
     if w is None or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    expect = h * (1 + w * channels)
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG without PLTE")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bits_pp = depth * channels
+    fbpp = max(1, bits_pp // 8)
+
+    def stride(pw: int) -> int:
+        return (pw * bits_pp + 7) // 8
+
+    if interlace == 0:
+        passes = [(w, h, 0, 0, 1, 1)]
+    else:
+        passes = [
+            (
+                (w - x0 + xs - 1) // xs,
+                (h - y0 + ys - 1) // ys,
+                x0, y0, xs, ys,
+            )
+            for x0, y0, xs, ys in _ADAM7
+        ]
+    if interlace == 0:
+        # non-interlaced zero-WIDTH rasters still carry one filter byte per
+        # row (the engine's own zero-width line strips encode exactly that)
+        expect = h * (1 + stride(w))
+    else:
+        # Adam7: empty passes (zero rows OR zero cols) contribute no
+        # scanlines at all, per spec
+        expect = sum(
+            ph * (1 + stride(pw)) for pw, ph, *_ in passes if pw and ph
+        )
     # bounded inflate: a decompression bomb (tiny deflate stream, huge
-    # expansion) must not allocate past the declared raster size
+    # expansion) must not allocate past the declared raster size; a
+    # corrupted deflate stream is a malformed container, not a crash
     decompressor = zlib.decompressobj()
-    inflated = decompressor.decompress(bytes(idat), expect + 1)
+    try:
+        inflated = decompressor.decompress(bytes(idat), expect + 1)
+    except zlib.error as exc:
+        raise ValueError(f"bad IDAT deflate stream: {exc}") from exc
     raw = np.frombuffer(inflated, dtype=np.uint8)
     if raw.size != expect:
         raise ValueError(f"bad IDAT size {raw.size}, want {expect}")
-    pixels = _unfilter(raw.reshape(h, 1 + w * channels), h, w, channels)
-    img = pixels.reshape(h, w, channels)
+
+    full = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for pw, ph, x0, y0, xs, ys in passes:
+        if not pw or not ph:
+            continue
+        st = stride(pw)
+        chunk = raw[off : off + ph * (1 + st)].reshape(ph, 1 + st)
+        off += ph * (1 + st)
+        rows = _unfilter(chunk, ph, st, fbpp)
+        samples = _rows_to_samples(rows, pw, depth, channels)
+        full[y0 : y0 + (ph - 1) * ys + 1 : ys,
+             x0 : x0 + (pw - 1) * xs + 1 : xs] = samples
+
+    if color_type == 3:
+        idx = full[:, :, 0]
+        if idx.size and int(idx.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]  # (H, W, 3)
+    if color_type == 0 and depth < 8:
+        # rescale sub-byte gray levels to full 8-bit range
+        return (full[:, :, 0].astype(np.uint16) * 255 // ((1 << depth) - 1)
+                ).astype(np.uint8)
     if color_type == 0:
-        return img[:, :, 0]
+        return full[:, :, 0]
     if color_type == 4:
-        return img[:, :, 0]  # gray + alpha → gray
-    return img[:, :, :3]  # RGB / RGBA → RGB
+        return full[:, :, 0]  # gray + alpha → gray
+    return full[:, :, :3]  # RGB / RGBA → RGB
 
 
 def png_to_gray_float(payload: bytes) -> np.ndarray:
