@@ -531,7 +531,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       8×min(n,384) grayscale image, encoded as an actual PNG
       (``kernels.png``, stored-deflate level 0 so the byte size has the
       closed form 76 + 8·W), decoded back via signature sniff + IHDR
-      parse + inflate + unfilter.
+      parse + inflate + unfilter. doc_id % 8 == 4 ships the SAME raster
+      as a color-type-3 PALETTED container (identity gray 256-entry
+      PLTE), so the decode maps indices through the palette yet yields
+      pixel-identical features; only the byte size grows by the PLTE
+      chunk (+780) — proving the palette decode path on the contract.
     - doc_id % 4 == 2: AUDIO. doc_id % 8 == 2: a 16-bit PCM WAV
       (``kernels.wav``) whose samples are the doc's first min(n,2000)
       codepoints mapped to (cp % 256)·200 − 25500 (full int16 headroom,
@@ -607,7 +611,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.frombuffer(b or b"\x00", dtype=np.uint8),
                         8 * w // max(len(b), 1) + 8,
                     )[: 8 * w].reshape(8, w)
-                    payload = encode_png(pix, level=0)
+                    if doc_id % 8 == 4:
+                        # paletted (color-type-3) container: identity gray
+                        # palette (index i -> (i,i,i)), so the decoded
+                        # raster is pixel-identical to the grayscale twin
+                        # and only the byte size changes (+780 PLTE chunk)
+                        pal = np.repeat(
+                            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+                        )
+                        payload = encode_png(pix, level=0, palette=pal)
+                    else:
+                        payload = encode_png(pix, level=0)
                 elif doc_id % 4 == 2:
                     kind = "audio"
                     cps = [ord(c) for c in str(text)[:2000]] or [0]
@@ -1583,7 +1597,9 @@ def oracle_sql() -> dict[str, str]:
             -- doc_id%4==0: PNG, W = min(n_text_bytes, 384), 8 rows of W
             -- px, filter-0 scanlines, stored-deflate: 8+25+12+12 fixed
             -- chunk overhead + (2 + 5 + 8*(W+1) + 4) zlib framing
-            -- = 76 + 8*W.
+            -- = 76 + 8*W; doc_id%8==4 is the paletted (color-type-3) twin
+            -- with an identity gray 256-entry PLTE: same raster, same
+            -- dims, +780 bytes (12 chunk framing + 768 palette).
             -- doc_id%8==2: 16-bit PCM WAV of n = min(n_chars, 2000)
             -- samples v_i = (codepoint_i % 256)*200 - 25500 (empty text
             -- -> one codepoint-0 sample); container bytes = 44 + 2n,
@@ -1617,7 +1633,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'avi' END AS fmt,
                    CASE WHEN d.doc_id % 4 = 0 THEN
                      CAST(76 + 8 * least(greatest(octet_length(encode(d.text)), 1),
-                                         384) AS BIGINT)
+                                         384)
+                          + CASE WHEN d.doc_id % 8 = 4 THEN 780 ELSE 0 END
+                          AS BIGINT)
                    WHEN d.doc_id % 8 = 2 THEN CAST(44 + 2 * a.n AS BIGINT)
                    WHEN d.doc_id % 8 = 6 THEN CAST(44 + a.n + a.n % 2 AS BIGINT)
                    END AS payload_bytes,
