@@ -113,9 +113,31 @@ def _walk_chunks(data: bytes, pos: int, end: int):
 def decode_avi(data: bytes) -> list[np.ndarray]:
     """AVI bytes → list of (H, W) uint8 grayscale frames (BGR averaged).
 
+    Eager wrapper over ``iter_avi_frames``; prefer the iterator for long
+    videos — it decodes one frame at a time (peak memory one raster, not
+    N) and never decodes skipped frames."""
+    return [frame for _, frame in iter_avi_frames(data)]
+
+
+def iter_avi_frames(
+    data: bytes, every_n: int = 1, max_frames: int | None = None
+):
+    """Lazy frame decode: yields (frame_no, (H, W) uint8 gray raster) for
+    every ``every_n``-th frame of the first video stream, stopping after
+    ``max_frames`` kept frames.
+
+    The header scan is eager (it only records chunk offsets — cheap even
+    for hour-long files); pixel decode happens per yielded frame, so peak
+    memory is ONE raster regardless of video length, and skipped frames
+    (sampling stride, max_frames cap) never pay entropy decode at all.
+    Malformed frames raise ``ValueError`` at their yield point — callers
+    wrap the ITERATION in their skip-never-crash discipline.
+
     Multi-stream files decode the FIRST 'vids' stream: the strf is latched
     only under a 'vids' strh and movi chunks are matched by that stream's
     two-digit index ('01db' when an audio strl is declared first)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     w = h = bits = None
@@ -182,39 +204,46 @@ def decode_avi(data: bytes) -> list[np.ndarray]:
         raise ValueError("missing video strh/strf header")
     want = b"%02d" % video_stream
     fourcc = struct.pack("<I", compression)
-    if fourcc.upper() == b"MJPG":
+    mjpg = fourcc.upper() == b"MJPG"
+    if mjpg:
         # Motion-JPEG: every frame chunk is a standalone JPEG. Frames may
         # omit Huffman tables (the OpenDML convention implies Annex K) —
         # splice them in; the per-frame SOF dims are authoritative and
         # must agree with the strf header (container-consistency check).
         from ocr_spark.kernels.jpeg import decode_jpeg, ensure_huffman_tables
+    else:
+        if compression != 0:
+            raise ValueError(
+                f"compressed AVI (fourcc {compression}) unsupported"
+            )
+        if bits not in (8, 24):
+            raise ValueError(f"unsupported bit depth {bits}")
+        ch = 3 if bits == 24 else 1
+        row_bytes = _pad4(w * ch)
 
-        out = []
-        for tag, body_start, length in frames:
-            if tag[:2] != want:
-                continue
+    stream_frames = [f for f in frames if f[0][:2] == want]
+    kept = 0
+    for frame_no, (_tag, body_start, length) in enumerate(stream_frames):
+        if frame_no % every_n:
+            continue  # sampling stride: skipped frames never decode
+        if max_frames is not None and kept >= max_frames:
+            return
+        kept += 1
+        if mjpg:
             img = decode_jpeg(
                 ensure_huffman_tables(data[body_start : body_start + length])
             )
             if img.ndim == 3:
-                img = img.astype(np.float32).mean(axis=2).round().astype(np.uint8)
+                img = (
+                    img.astype(np.float32).mean(axis=2).round().astype(np.uint8)
+                )
             if img.shape != (h, w):
                 raise ValueError(
                     f"MJPG frame is {img.shape[1]}x{img.shape[0]}, "
                     f"strf says {w}x{h}"
                 )
-            out.append(img)
-        return out
-    if compression != 0:
-        raise ValueError(f"compressed AVI (fourcc {compression}) unsupported")
-    if bits not in (8, 24):
-        raise ValueError(f"unsupported bit depth {bits}")
-    ch = 3 if bits == 24 else 1
-    row_bytes = _pad4(w * ch)
-    out = []
-    for tag, body_start, length in frames:
-        if tag[:2] != want:
-            continue  # frames of a non-video stream (audio, second video)
+            yield frame_no, img
+            continue
         if length < row_bytes * h:
             raise ValueError("short DIB frame")
         raw = np.frombuffer(data, np.uint8, row_bytes * h, body_start)
@@ -224,5 +253,4 @@ def decode_avi(data: bytes) -> list[np.ndarray]:
             img = img.round().astype(np.uint8)
         else:
             img = rows if palette is None else palette[rows]
-        out.append(img.copy() if topdown else img[::-1].copy())
-    return out
+        yield frame_no, (img.copy() if topdown else img[::-1].copy())

@@ -157,15 +157,18 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     # decode checksum covers ALL frames — it only exists
                     # after the full container decode — while dims and the
                     # pooled feature come from the first frame.
-                    from ocr_spark.kernels.avi import decode_avi
+                    from ocr_spark.kernels.avi import iter_avi_frames
 
-                    frames = decode_avi(payload)
-                    if not frames:
+                    # streamed decode: the all-frame checksum accumulates
+                    # one raster at a time (peak memory one frame, not N)
+                    frame_sum = 0
+                    img = None
+                    for _fno, frame in iter_avi_frames(payload):
+                        frame_sum += int(frame.astype(np.int64).sum())
+                        if img is None:
+                            img = frame.astype(np.float32) / 255.0
+                    if img is None:
                         continue
-                    frame_sum = int(
-                        sum(f.astype(np.int64).sum() for f in frames)
-                    )
-                    img = frames[0].astype(np.float32) / 255.0
                     fmt = "avi"
                 elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                     # audio container: real WAV parse (PCM or G.711). The
@@ -312,7 +315,7 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     the frame table is orders of magnitude taller than the media table
     and must never carry the source bytes.
     """
-    from ocr_spark.kernels.avi import decode_avi
+    from ocr_spark.kernels.avi import iter_avi_frames
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -324,17 +327,31 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                     continue
                 payload = bytes(payload)
                 if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    # lazy per-frame decode: one raster in memory at a
+                    # time, skipped frames never pay entropy decode; the
+                    # per-payload buffer holds only (frame_no, crc, feat)
+                    # rows so a corrupt container still yields NO rows
+                    # (atomic skip, matching the eager semantics)
+                    buf = []
                     try:
-                        real = decode_avi(payload)
+                        for f, raster in iter_avi_frames(
+                            payload, every_n=every_n
+                        ):
+                            img = raster.astype(np.float32) / 255.0
+                            buf.append(
+                                (
+                                    f,
+                                    zlib.crc32(raster.tobytes()),
+                                    _pool_bands(img).tolist(),
+                                )
+                            )
                     except ValueError:
                         continue  # corrupt container: skip, never crash
-                    for f in range(0, len(real), every_n):
-                        raster = real[f]
-                        img = raster.astype(np.float32) / 255.0
+                    for f, crc, feat in buf:
                         ids.append(int(mid))
                         fnos.append(f)
-                        crcs.append(zlib.crc32(raster.tobytes()))
-                        feats.append(_pool_bands(img).tolist())
+                        crcs.append(crc)
+                        feats.append(feat)
                     continue
                 n_frames = int(meta["n_frames"] or 1)
                 for f in range(0, n_frames, every_n):
@@ -387,8 +404,14 @@ def recognize_video_frames(
     vocabulary has no space class (cropped-line OCR, reference
     semantics), so recognized text is the concatenated glyph stream.
     """
-    from ocr_spark.kernels.avi import decode_avi
+    from ocr_spark.kernels.avi import iter_avi_frames
     from ocr_spark.kernels.font import GLYPH_H, recognize_lines_font
+
+    # recognition sub-batch: frames stream off the lazy decoder and are
+    # recognized RECOG_BATCH at a time, so peak memory is bounded by the
+    # sub-batch (not the video length) while the NCC kernel still runs
+    # vectorized over [B, 8, W]
+    RECOG_BATCH = 128
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -399,23 +422,38 @@ def recognize_video_frames(
                 payload = bytes(payload)
                 if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
                     continue
+                out: list[tuple[int, str]] = []
+                kept: list[tuple[int, np.ndarray]] = []
+
+                def flush():
+                    if not kept:
+                        return
+                    batch = np.stack(
+                        [fr.astype(np.float32) / 255.0 for _, fr in kept]
+                    )
+                    widths = [batch.shape[2]] * len(kept)
+                    decoded = recognize_lines_font(
+                        batch, widths, decoder=decoder
+                    )
+                    out.extend(
+                        (f, text) for (f, _), text in zip(kept, decoded)
+                    )
+                    kept.clear()
+
                 try:
-                    frames = decode_avi(payload)
+                    # lazy per-frame decode: a skipped (stride) frame never
+                    # pays entropy decode, peak memory is one raster plus
+                    # the RECOG_BATCH recognition window
+                    for f, frame in iter_avi_frames(payload, every_n=every_n):
+                        if frame.shape[0] != GLYPH_H or not frame.size:
+                            continue
+                        kept.append((f, frame))
+                        if len(kept) >= RECOG_BATCH:
+                            flush()
+                    flush()
                 except ValueError:
                     continue  # corrupt container: skip, never crash
-                kept = [
-                    (f, frames[f])
-                    for f in range(0, len(frames), every_n)
-                    if frames[f].shape[0] == GLYPH_H and frames[f].size
-                ]
-                if not kept:
-                    continue
-                batch = np.stack(
-                    [fr.astype(np.float32) / 255.0 for _, fr in kept]
-                )
-                widths = [batch.shape[2]] * len(kept)
-                decoded = recognize_lines_font(batch, widths, decoder=decoder)
-                for (f, _), text in zip(kept, decoded):
+                for f, text in out:
                     ids.append(int(mid))
                     fnos.append(f)
                     texts.append(text)
