@@ -97,6 +97,32 @@ def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production front door: real WARC bytes → pages → extraction.
+
+    The corpus materializes as member-gzipped multi-file WARC archives
+    (``sources.warc.warc_fixture`` — one gzip member per record, the
+    Common Crawl layout), is read back through ``read_warc`` (binaryFile
+    scan → per-member inflate → WARC header parse → HTTP payload strip),
+    and extracted. Every emitted value crosses the full container path:
+    the url and warc_ts come from parsed WARC headers (the timestamp
+    string proves WARC-Date parsing end-to-end), the text from HTML
+    payload bytes that lived inside gzip members."""
+    from ocr_spark.operators.extract_html import extract_pages
+    from ocr_spark.sources.warc import read_warc, warc_fixture
+
+    _pin_utc(spark)
+    path = warc_fixture(spark, sf_dir)
+    pages = read_warc(spark, path + "/*.warc.gz")
+    out = extract_pages(pages)
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_time"),
+        "extracted_text",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+    )
+
+
 def q_extract_html_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-paragraph pages: byte-identical match flag per url."""
     from ocr_spark.operators.extract_html import extract_pages
@@ -1261,13 +1287,17 @@ def q_rel_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup over lineitem flags (grouping-sets surface)."""
+    """Hierarchical rollup over lineitem flags (grouping-sets surface),
+    with a distinct-count per grouping set (the countDistinct surface —
+    absorbed from the retired rel_distinct query; broadcast-join coverage
+    stays with rel_nation_revenue)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
         )
     )
 
@@ -1282,20 +1312,6 @@ def q_rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .select("c_custkey", "c_name")
-    )
-
-
-def q_rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-count rollup per market segment."""
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    j = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
-        orders.o_custkey == F.col("c_custkey"),
-    )
-    return j.groupBy("c_mktsegment").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.count("*").alias("n_orders"),
     )
 
 
@@ -1467,7 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_stats": q_rel_stats,
         "text_edit_distance": q_text_edit_distance,
         "rel_anti_join": q_rel_anti_join,
-        "rel_distinct": q_rel_distinct,
+        "extract_warc": q_extract_warc,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -2004,7 +2020,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   round(sum(l_quantity), 2) AS sum_qty
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "rel_anti_join": """
@@ -2013,12 +2030,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM orders WHERE o_custkey = c_custkey
             )
         """,
-        "rel_distinct": """
-            SELECT c_mktsegment,
-                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-                   count(*) AS n_orders
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_mktsegment
+        "extract_warc": f"""
+            -- the WARC crawl is a pure function of documents: url and
+            -- page bytes via kernels.synth, WARC-Date from
+            -- warc_ts_for_doc = 1704067200 + (doc_id%7)*86400
+            -- + (doc_id*40499)%86400 epoch seconds (UTC)
+            SELECT {_URL_SQL} AS url,
+                   strftime(make_timestamp(
+                       (1704067200 + (doc_id % 7) * 86400
+                        + (doc_id * 40499) % 86400) * 1000000),
+                       '%Y-%m-%d %H:%M:%S') AS warc_time,
+                   text AS extracted_text,
+                   CAST(1 AS BIGINT) AS n_blocks
+            FROM documents
         """,
         "events_windowed": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

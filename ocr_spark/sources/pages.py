@@ -32,6 +32,45 @@ from ocr_spark.kernels.synth import url_for_doc, warc_ts_for_doc, wrap_html
 _FIXTURE_VERSION = "r4-2"
 
 
+def fixture_cache_base() -> str | None:
+    """Fixture cache root, or None when caching is disabled
+    (``SPARK_GRAFT_FIXTURE_CACHE=off``). Defaults user-private (0700),
+    not a fixed world-readable /tmp path shared across users."""
+    base = os.environ.get("SPARK_GRAFT_FIXTURE_CACHE", "")
+    if base.lower() in ("off", "0", "none"):
+        return None
+    if not base:
+        base = os.path.join(
+            os.path.expanduser("~"), ".cache", "ocr_spark_fixture_cache"
+        )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    return base
+
+
+def fixture_cache_key(sf_dir: str, kind: str) -> str:
+    """Cache key fingerprinting the INPUT table contents (size+mtime of
+    every file under documents.parquet), not just its path — regenerating
+    the corpus in place invalidates the cache without a manual version
+    bump. ``_FIXTURE_VERSION`` still covers generator-code changes."""
+    doc_path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    fp_parts = []
+    for p in sorted(
+        [doc_path, *(
+            os.path.join(doc_path, f)
+            for f in (os.listdir(doc_path) if os.path.isdir(doc_path) else [])
+        )]
+    ):
+        try:
+            st = os.stat(p)
+            fp_parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            fp_parts.append(f"{p}:missing")
+    return hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{kind}|{_FIXTURE_VERSION}|"
+        f"{'|'.join(fp_parts)}".encode()
+    ).hexdigest()[:16]
+
+
 def _cached_pages(
     spark: SparkSession,
     sf_dir: str,
@@ -52,38 +91,10 @@ def _cached_pages(
     but are small enough that a plain scan would coalesce to one split
     (``maxPartitionBytes``) — re-fan-out with one explicit repartition so
     downstream decode/extract uses every core."""
-    base = os.environ.get("SPARK_GRAFT_FIXTURE_CACHE", "")
-    if base.lower() in ("off", "0", "none"):
+    base = fixture_cache_base()
+    if base is None:
         return build()
-    if not base:
-        # user-private by default (0700), not a fixed world-readable /tmp
-        # path shared across users
-        base = os.path.join(
-            os.path.expanduser("~"), ".cache", "ocr_spark_fixture_cache"
-        )
-        os.makedirs(base, mode=0o700, exist_ok=True)
-    # The key fingerprints the INPUT table contents (size+mtime of every
-    # file under documents.parquet), not just its path — regenerating the
-    # corpus in place invalidates the cache without a manual version bump.
-    # _FIXTURE_VERSION still covers generator-code changes.
-    doc_path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    fp_parts = []
-    for p in sorted(
-        [doc_path, *(
-            os.path.join(doc_path, f)
-            for f in (os.listdir(doc_path) if os.path.isdir(doc_path) else [])
-        )]
-    ):
-        try:
-            st = os.stat(p)
-            fp_parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
-        except OSError:
-            fp_parts.append(f"{p}:missing")
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{kind}|{_FIXTURE_VERSION}|"
-        f"{'|'.join(fp_parts)}".encode()
-    ).hexdigest()[:16]
-    path = os.path.join(base, f"{kind}-{key}")
+    path = os.path.join(base, f"{kind}-{fixture_cache_key(sf_dir, kind)}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         build().write.mode("overwrite").parquet(tmp)

@@ -199,3 +199,84 @@ def write_warc(path: str, records: list[dict], compress: bool = False) -> None:
         out.write(gzip.compress(record) if compress else record)
     with open(path, "wb") as f:
         f.write(out.getvalue())
+
+
+def warc_fixture(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Materialize the documents table as a multi-file member-gzipped
+    WARC crawl (the Common Crawl layout) and return its directory.
+
+    The crawl is DETERMINISTIC per document — url/timestamp/page bytes are
+    pure functions of (doc_id, source, text) via ``kernels.synth`` — so
+    extraction over the WARC files is oracle-checkable against the raw
+    ``documents`` table, exactly like the parquet-backed pages source.
+    Files are written DISTRIBUTED (one ``.warc.gz`` per task, matching the
+    one-task-per-archive read path; on a cluster this seam would target
+    shared storage) into the fixture cache, keyed by the same
+    content-fingerprint as the page fixtures; only per-task record COUNTS
+    return to the driver."""
+    import os
+    import uuid
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.kernels.synth import url_for_doc, warc_ts_for_doc, wrap_html
+    from ocr_spark.sources.pages import fixture_cache_base, fixture_cache_key
+
+    base = fixture_cache_base()
+    if base is None:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="ocr_spark_warc_")
+    path = os.path.join(base, f"warc-{fixture_cache_key(sf_dir, 'warc')}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        recs = []
+        for pdf in batches:
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                doc_id = int(doc_id)
+                url = url_for_doc(doc_id, str(source))
+                ts = datetime.fromtimestamp(
+                    warc_ts_for_doc(doc_id), tz=timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ")
+                recs.append(
+                    {
+                        "url": url,
+                        "warc_ts": ts,
+                        "html": wrap_html(str(text), url),
+                    }
+                )
+        if recs:
+            pid = TaskContext.get().partitionId()
+            write_warc(
+                os.path.join(tmp, f"part-{pid:05d}.warc.gz"),
+                recs,
+                compress=True,
+            )
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "source")
+        .repartition(n_files, "doc_id")
+    )
+    # bounded driver traffic: one count per task
+    docs.mapInPandas(fn, schema="n long").agg(F.sum("n")).collect()
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # a concurrent session won the rename; its fixture is equivalent
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path

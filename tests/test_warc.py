@@ -172,3 +172,37 @@ def test_utf8_iri_target_uri_roundtrip(tmp_path):
     )
     parsed = parse_warc(open(path, "rb").read(), False)
     assert parsed[0]["url"] == url
+
+
+def test_warc_fixture_contract_roundtrip(spark, tmp_path, monkeypatch):
+    """The contract front door: warc_fixture materializes the documents
+    table as member-gzipped multi-file WARC, read_warc + extract_pages
+    recover every url with byte-identical text, and the fixture cache
+    reuses the built crawl on the second call."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.extract_html import extract_pages
+    from ocr_spark.sources.warc import read_warc, warc_fixture
+
+    monkeypatch.setenv("SPARK_GRAFT_FIXTURE_CACHE", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    path = warc_fixture(spark, sf, n_files=4)
+    files = [f for f in os.listdir(path) if f.endswith(".warc.gz")]
+    assert len(files) >= 2  # genuinely multi-file
+    assert warc_fixture(spark, sf, n_files=4) == path  # cache hit
+
+    pages = read_warc(spark, path + "/*.warc.gz")
+    out = extract_pages(pages).select("url", "extracted_text")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from ocr_spark.kernels.synth import url_for_doc
+
+    expected = {
+        url_for_doc(r.doc_id, r.source): r.text
+        for r in docs.select("doc_id", "source", "text").collect()
+    }
+    got = {r.url: r.extracted_text for r in out.collect()}
+    assert got == expected
+    # WARC-Date survives the header parse: every page has a timestamp
+    assert pages.filter(F.col("warc_ts").isNull()).count() == 0
