@@ -71,7 +71,26 @@ def ctc_beam_decode(
     bigram_log_prior: np.ndarray | None = None,
     prior_weight: float = 1.0,
 ) -> str:
-    """CTC prefix beam search over one line's logits ``[T, C]`` → text.
+    """Top-1 of ``ctc_beam_decode_nbest`` (see there for semantics)."""
+    nbest = ctc_beam_decode_nbest(
+        logits, seq_len, beam_width, bigram_log_prior, prior_weight
+    )
+    return decode_indices(list(nbest[0][0])) if nbest else ""
+
+
+def ctc_beam_decode_nbest(
+    logits: np.ndarray,
+    seq_len: int | None = None,
+    beam_width: int = 8,
+    bigram_log_prior: np.ndarray | None = None,
+    prior_weight: float = 1.0,
+) -> list[tuple[tuple[int, ...], float]]:
+    """CTC prefix beam search over one line's logits ``[T, C]`` → the
+    final beam as ``[(label_indices, log_prob), ...]``, best first (ties
+    lexicographic). The N-best surface exists for backward-context
+    rescoring (``kernels.font`` ``decoder="beam_bi"``): a second pass may
+    re-rank complete hypotheses with information unavailable during the
+    left-to-right search.
 
     The published prefix-search decoder (Graves 2006 §7.5 / the standard
     prefix-beam formulation): per prefix, track the probability of ending
@@ -99,7 +118,7 @@ def ctc_beam_decode(
         logits = logits[:seq_len]
     T, C = logits.shape
     if T == 0:
-        return ""
+        return [((), 0.0)]
     # per-frame softmax (shift for stability)
     z = logits - logits.max(axis=1, keepdims=True)
     probs = np.exp(z)
@@ -154,8 +173,14 @@ def ctc_beam_decode(
         beams = {k: (v[0], v[1]) for k, v in ranked}
     # ties break toward the lexicographically SMALLEST prefix — the same
     # order the per-step pruning uses
-    best = min(beams.items(), key=lambda kv: (-(kv[1][0] + kv[1][1]), kv[0]))[0]
-    return decode_indices(list(best))
+    ranked_final = sorted(
+        beams.items(), key=lambda kv: (-(kv[1][0] + kv[1][1]), kv[0])
+    )
+    tiny = np.finfo(np.float64).tiny
+    return [
+        (prefix, float(np.log(max(pb + pnb, tiny))))
+        for prefix, (pb, pnb) in ranked_final
+    ]
 
 
 def ctc_greedy_decode_batch(

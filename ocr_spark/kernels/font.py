@@ -454,6 +454,28 @@ def glyph_bigram_log_prior() -> np.ndarray:
     return out
 
 
+def glyph_bigram_log_prior_backward() -> np.ndarray:
+    """Fixed ``[NUM_CLASSES + 1, NUM_CLASSES]`` RIGHT-context log-prior:
+    row = the symbol that comes NEXT (``NUM_CLASSES`` = end-of-line),
+    column = the symbol being scored. The same orthographic knowledge as
+    the forward table read in the other direction —
+    ``B[next, prev] = _CLS_TRANS[cls(prev), cls(next)]`` — so no new
+    tuning surface. This is what finishes the BiLSTM analog
+    (``Module/RecognitionBackbone.py:77-123`` runs both directions): a
+    LEADING ambiguous glyph ('l'/'1' at line start, where the forward
+    prior's start row is uninformative) is resolved by what FOLLOWS it.
+    Applied by N-best rescoring after the beam (``decoder="beam_bi"``),
+    never inside the left-to-right search."""
+    out = np.full((NUM_CLASSES + 1, NUM_CLASSES), -np.inf)
+    for j, prev_ch in enumerate(CHAR_VECTOR):
+        pc = _CLS_OF.get(prev_ch, 3)
+        for i, next_ch in enumerate(CHAR_VECTOR):
+            out[i, j] = np.log(_CLS_TRANS[pc, _CLS_OF.get(next_ch, 3)])
+        out[NUM_CLASSES, j] = 0.0  # end of line: uninformative
+    out[:, BLANK_INDEX] = 0.0  # prior never scores blank (CTC handles it)
+    return out
+
+
 # shallow-fusion weight for the bigram prior: swept over {0.4, 0.5, 0.7,
 # 1.0} on the ambiguity corpus — 0.5 keeps the full sigma=0.4 recovery
 # (258 vs greedy 253 exact over 300 lines) while flipping ZERO confident
@@ -463,6 +485,7 @@ def glyph_bigram_log_prior() -> np.ndarray:
 BIGRAM_PRIOR_WEIGHT = 0.5
 
 _BIGRAM_PRIOR = None
+_BIGRAM_PRIOR_BWD = None
 
 
 def recognize_lines_font(
@@ -491,29 +514,77 @@ def recognize_lines_font(
     prior (``glyph_bigram_log_prior``) into the beam — the
     BiLSTM-analog: at noise levels where per-window NCC starts confusing
     O/0 and l/1, cross-glyph context resolves them
-    (tests/test_font_ocr.py ambiguity corpus). Default-off.
+    (tests/test_font_ocr.py ambiguity corpus).
+
+    ``"beam_bi"`` completes the BIDIRECTIONAL analog (the reference
+    BiLSTM runs both directions): the left prior fuses in-beam, then the
+    final N-best is rescored with the right-context prior
+    (``glyph_bigram_log_prior_backward`` — each symbol scored given its
+    successor). Leading ambiguous glyphs, invisible to the forward
+    prior's uninformative start row, are exactly what the backward pass
+    fixes. Measured on the ambiguity corpus: beam_bi ≥ beam_lm > greedy
+    at sigma 0.4 (tests/test_font_ocr.py). Default-off everywhere: at
+    the contract noise levels greedy is already exact on every line
+    (measured, same tests) and is one vectorized argmax, while beam_bi
+    is O(T·C·beam) Python per line — the context decoders are the
+    degraded-input path, not a default tax on clean corpora.
     """
     logits = font_line_logits(strips)
     seq_lens = np.asarray(widths, dtype=np.int64) // GLYPH_W
-    if decoder in ("beam", "beam_lm"):
-        from ocr_spark.kernels.ctc import ctc_beam_decode
+    if decoder in ("beam", "beam_lm", "beam_bi"):
+        from ocr_spark.kernels.ctc import (
+            ctc_beam_decode_nbest,
+            decode_indices,
+        )
 
         prior = None
-        if decoder == "beam_lm":
+        if decoder in ("beam_lm", "beam_bi"):
             global _BIGRAM_PRIOR
             if _BIGRAM_PRIOR is None:
                 _BIGRAM_PRIOR = glyph_bigram_log_prior()
             prior = _BIGRAM_PRIOR
-        return [
-            ctc_beam_decode(
+        bwd = None
+        if decoder == "beam_bi":
+            global _BIGRAM_PRIOR_BWD
+            if _BIGRAM_PRIOR_BWD is None:
+                _BIGRAM_PRIOR_BWD = glyph_bigram_log_prior_backward()
+            bwd = _BIGRAM_PRIOR_BWD
+        out = []
+        for i in range(logits.shape[0]):
+            nbest = ctc_beam_decode_nbest(
                 logits[i] * BEAM_LOGIT_SCALE,
                 int(seq_lens[i]),
                 beam_width,
                 bigram_log_prior=prior,
                 prior_weight=BIGRAM_PRIOR_WEIGHT,
             )
-            for i in range(logits.shape[0])
-        ]
+            if bwd is not None and len(nbest) > 1:
+                # backward rescoring: add the right-context prior of every
+                # emitted symbol given its successor (EOL for the last) to
+                # the in-beam score (which already fused the left prior).
+                # SUBSTITUTION-ONLY: re-rank among hypotheses with the
+                # top-1's LENGTH. The backward table rows top out at 0, so
+                # a free-length re-rank would let deletion dodge any
+                # inconsistent-glyph penalty (measured: 'I110' decoded as
+                # '110') — right context decides WHICH glyph, the beam's
+                # evidence decides WHETHER a glyph exists (the blank's
+                # job, exactly as in the reference's CTC-over-BiLSTM).
+                def bi_score(item):
+                    labels, lp = item
+                    s = lp
+                    for k, c in enumerate(labels):
+                        nxt = labels[k + 1] if k + 1 < len(labels) else None
+                        row = bwd[nxt] if nxt is not None else bwd[-1]
+                        s += BIGRAM_PRIOR_WEIGHT * row[c]
+                    return s
+
+                top_len = len(nbest[0][0])
+                same_len = [it for it in nbest if len(it[0]) == top_len]
+                best = min(same_len, key=lambda it: (-bi_score(it), it[0]))
+                out.append(decode_indices(list(best[0])))
+                continue
+            out.append(decode_indices(list(nbest[0][0])) if nbest else "")
+        return out
     if decoder != "greedy":
         raise ValueError(f"unknown decoder {decoder!r}")
     return ctc_greedy_decode_batch(logits, seq_lens)

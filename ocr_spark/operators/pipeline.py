@@ -230,16 +230,22 @@ def _recognize_mixed(recognizer: str = "conv"):
     "font_beam" = the same NCC scores decoded by CTC prefix beam search
     (alignment-summing), "font_beam_lm" = beam + the fixed glyph-bigram
     context prior (the BiLSTM-analog; recovers O/0 and l/1 confusions at
-    noise levels where per-window evidence fails — default-off)."""
+    noise levels where per-window evidence fails), "font_beam_bi" =
+    bidirectional context (left prior in-beam + right-context N-best
+    rescoring — the full BiLSTM analog; fixes LEADING ambiguous glyphs
+    the forward prior cannot). The context decoders are default-off:
+    measured exact-equal to greedy at contract noise, strictly better
+    only on degraded inputs (tests/test_font_ocr.py)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if recognizer in ("font", "font_beam", "font_beam_lm"):
+        if recognizer in ("font", "font_beam", "font_beam_lm", "font_beam_bi"):
             from ocr_spark.kernels.font import recognize_lines_font
 
             decoder = {
                 "font": "greedy",
                 "font_beam": "beam",
                 "font_beam_lm": "beam_lm",
+                "font_beam_bi": "beam_bi",
             }[recognizer]
 
             def rec(strips, widths):
