@@ -829,4 +829,149 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "The company reported stronger volumes across all regions, with the detail broken out in the table below for reference.\n\n"
         "The northern region led for a third consecutive quarter on stronger port volumes and a new international service.",
     ),
+    (
+        63,
+        "syntax-highlighted code: token span soup reassembles verbatim",
+        """<body><main><article>
+        <h1>Reading a parquet footer by hand</h1>
+        <p>The magic bytes sit at both ends of the file, so a reader can verify the format before parsing any metadata at all.</p>
+        <pre><code><span class="kw">def</span> <span class="fn">read_footer</span><span class="p">(</span><span class="v">path</span><span class="p">):</span>
+    <span class="kw">with</span> <span class="fn">open</span><span class="p">(</span><span class="v">path</span><span class="p">,</span> <span class="s">"rb"</span><span class="p">)</span> <span class="kw">as</span> <span class="v">f</span><span class="p">:</span>
+        <span class="kw">return</span> <span class="v">f</span><span class="p">.</span><span class="fn">read</span><span class="p">()[</span><span class="n">-8</span><span class="p">:]</span></code></pre>
+        <p>Highlighters wrap every token in its own span, and the whitespace between tokens lives in the text nodes, never in the markup.</p>
+        </article></main></body>""",
+        "Reading a parquet footer by hand\n\n"
+        "The magic bytes sit at both ends of the file, so a reader can verify the format before parsing any metadata at all.\n\n"
+        '''def read_footer(path):
+    with open(path, "rb") as f:
+        return f.read()[-8:]'''
+        "\n\n"
+        "Highlighters wrap every token in its own span, and the whitespace between tokens lives in the text nodes, never in the markup.",
+    ),
+    (
+        64,
+        "article split across several section elements stays in order",
+        """<body><main><article>
+        <h1>The long road to the new terminal</h1>
+        <section><h2>Planning</h2>
+        <p>Planning permission alone took six years, with three public inquiries and a judicial review before the first drawing was approved.</p></section>
+        <section><h2>Construction</h2>
+        <p>Construction went faster than anyone predicted because the contractor prefabricated the concourse roof in sections upriver.</p></section>
+        <section><h2>Opening day</h2>
+        <p>On opening day the first arrival was a delayed night ferry, which staff considered a fitting start.</p></section>
+        </article></main></body>""",
+        "The long road to the new terminal\n\n"
+        "Planning\n\n"
+        "Planning permission alone took six years, with three public inquiries and a judicial review before the first drawing was approved.\n\n"
+        "Construction\n\n"
+        "Construction went faster than anyone predicted because the contractor prefabricated the concourse roof in sections upriver.\n\n"
+        "Opening day\n\n"
+        "On opening day the first arrival was a delayed night ferry, which staff considered a fitting start.",
+    ),
+    (
+        65,
+        "aside pull-quote and inline read-more box stripped mid-article",
+        """<body><main><article>
+        <h1>Ferry operator doubles winter timetable</h1>
+        <p>The operator said demand had grown so quickly that winter sailings would now match the summer schedule for the first time in its history.</p>
+        <aside class="pullquote">\u201cDemand has never been like this\u201d</aside>
+        <p>Commuter groups welcomed the change but warned that the older vessels would need refits to handle the rougher season.</p>
+        <div class="read-more-box"><strong>READ MORE:</strong> <a href="/a1">Harbour dredging resumes</a> <a href="/a2">New icebreaker ordered</a></div>
+        <p>A spokesperson confirmed the refit budget had already been approved by the board.</p>
+        </article></main></body>""",
+        "Ferry operator doubles winter timetable\n\n"
+        "The operator said demand had grown so quickly that winter sailings would now match the summer schedule for the first time in its history.\n\n"
+        "Commuter groups welcomed the change but warned that the older vessels would need refits to handle the rougher season.\n\n"
+        "A spokesperson confirmed the refit budget had already been approved by the board.",
+    ),
+    (
+        66,
+        "footnote section is content; markers stay inline",
+        """<body><main><article>
+        <h1>A short history of the harbour crossing</h1>
+        <p>The first regular crossing was rowed, a service that lasted ninety years before steam replaced muscle<sup>[1]</sup> and cut the journey to eleven minutes.</p>
+        <p>The bridge finally opened in 1931, though tolls remained until the debt was cleared two generations later<sup>[2]</sup>.</p>
+        <section class="footnotes"><h2>Notes</h2>
+        <ol>
+        <li>Rowing logs survive in the maritime museum archive.</li>
+        <li>The toll abolition ceremony drew a larger crowd than the opening.</li>
+        </ol></section>
+        </article></main></body>""",
+        "A short history of the harbour crossing\n\n"
+        "The first regular crossing was rowed, a service that lasted ninety years before steam replaced muscle[1] and cut the journey to eleven minutes.\n\n"
+        "The bridge finally opened in 1931, though tolls remained until the debt was cleared two generations later[2].\n\n"
+        "Notes\n\n"
+        "Rowing logs survive in the maritime museum archive.\n\n"
+        "The toll abolition ceremony drew a larger crowd than the opening.",
+    ),
+    (
+        67,
+        "photo gallery: captions are content, per-figure share links are not",
+        """<body><main><article>
+        <h1>The harbour in five photographs</h1>
+        <p>Our photographer spent a week on the quays; these are the frames the editors could not stop arguing about.</p>
+        <figure><img src="/g/1.jpg" alt=""><figcaption>Dawn fog lifting off the container cranes, seen from the pilot boat.</figcaption>
+        <div class="share-row"><a href="/share?1">Share</a> <a href="/dl/1">Download</a></div></figure>
+        <figure><img src="/g/2.jpg" alt=""><figcaption>The last steam tug under its own power, photographed on her final run.</figcaption>
+        <div class="share-row"><a href="/share?2">Share</a> <a href="/dl/2">Download</a></div></figure>
+        </article></main></body>""",
+        "The harbour in five photographs\n\n"
+        "Our photographer spent a week on the quays; these are the frames the editors could not stop arguing about.\n\n"
+        "Dawn fog lifting off the container cranes, seen from the pilot boat.\n\n"
+        "The last steam tug under its own power, photographed on her final run.",
+    ),
+    (
+        68,
+        "per-comment article elements under a comments section stay chrome",
+        """<body><main><article>
+        <h1>Opinion: the quay belongs to pedestrians</h1>
+        <p>Closing the quay road to cars would cost four minutes of driving and return a kilometre of waterfront to the people who actually use it.</p>
+        <p>Every city that has tried it reports the same sequence: protest, trial, and then quiet astonishment that it was ever controversial.</p>
+        </article>
+        <section class="comments"><h3>42 comments</h3>
+        <article class="comment"><header><a href="/u/9">quayfan</a></header><p>Completely agree, the trial cannot come soon enough.</p></article>
+        <article class="comment"><header><a href="/u/3">driver77</a></header><p>Four minutes is optimistic in rush hour.</p></article>
+        </section></main></body>""",
+        "Opinion: the quay belongs to pedestrians\n\n"
+        "Closing the quay road to cars would cost four minutes of driving and return a kilometre of waterfront to the people who actually use it.\n\n"
+        "Every city that has tried it reports the same sequence: protest, trial, and then quiet astonishment that it was ever controversial.",
+    ),
+    (
+        69,
+        "chat transcript page: speakers and messages are the content",
+        """<body><main><article>
+        <h1>Transcript: radio traffic from the grounding</h1>
+        <p>The following exchange between the pilot and harbour control was released by the investigation board.</p>
+        <dl class="transcript">
+        <dt>Pilot (08:14)</dt><dd>We are losing steerage in the bend, request a tug to standby.</dd>
+        <dt>Control (08:15)</dt><dd>Tug Hercules is five minutes out, hold your line as long as you can.</dd>
+        <dt>Pilot (08:17)</dt><dd>We are aground, soft bottom, no injuries, engines stopped.</dd>
+        </dl>
+        </article></main></body>""",
+        "Transcript: radio traffic from the grounding\n\n"
+        "The following exchange between the pilot and harbour control was released by the investigation board.\n\n"
+        "Pilot (08:14)\n\n"
+        "We are losing steerage in the bend, request a tug to standby.\n\n"
+        "Control (08:15)\n\n"
+        "Tug Hercules is five minutes out, hold your line as long as you can.\n\n"
+        "Pilot (08:17)\n\n"
+        "We are aground, soft bottom, no injuries, engines stopped.",
+    ),
+    (
+        70,
+        "in-article table of contents nav stripped, body headings kept",
+        """<body><main><article>
+        <h1>Complete guide to winter sailing</h1>
+        <nav class="toc"><h2>Contents</h2><ol><li><a href="#clothing">Clothing</a></li><li><a href="#daylight">Daylight</a></li><li><a href="#ice">Ice</a></li></ol></nav>
+        <h2 id="clothing">Clothing</h2>
+        <p>Layers beat bulk: a windproof shell over wool keeps spray out without stealing the movement you need at the tiller.</p>
+        <h2 id="daylight">Daylight</h2>
+        <p>Plan passages around the short afternoon light and treat every departure after lunch as a night sail.</p>
+        </article></main></body>""",
+        "Complete guide to winter sailing\n\n"
+        "Clothing\n\n"
+        "Layers beat bulk: a windproof shell over wool keeps spray out without stealing the movement you need at the tiller.\n\n"
+        "Daylight\n\n"
+        "Plan passages around the short afternoon light and treat every departure after lunch as a night sail.",
+    ),
 ]

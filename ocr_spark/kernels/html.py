@@ -145,6 +145,7 @@ class _Block:
     depth: int
     negative: bool  # opened under negative ancestry (or is itself negative)
     attr_pos: bool
+    pre: bool = False  # opened inside <pre>: whitespace is content
     first_pos: int = -1  # document-order position of first text chunk
     parts: list[str] = field(default_factory=list)
     link_parts: list[str] = field(default_factory=list)
@@ -160,6 +161,7 @@ class _Elem:
     drop: bool
     is_block: bool
     is_a: bool
+    is_pre: bool
 
 
 class _Tokenizer(HTMLParser):
@@ -178,6 +180,7 @@ class _Tokenizer(HTMLParser):
         self._neg_depth = 0
         self._content_depth = 0  # open <article>/<main> ancestors
         self._a_depth = 0
+        self._pre_depth = 0  # open <pre> ancestors: verbatim whitespace
         self._text_pos = 0  # monotonic document-order text counter
 
     # -- tag events ------------------------------------------------------
@@ -252,6 +255,9 @@ class _Tokenizer(HTMLParser):
                 if tag == "a":
                     self._blocks[-1].n_links += 1
         is_a = tag == "a" and not drop
+        is_pre = tag == "pre" and not drop
+        if is_pre:
+            self._pre_depth += 1
         is_block = tag in _BLOCK_TAGS and not drop
         content_bump = not drop and (
             tag in ("article", "main") or role in ("main", "article")
@@ -271,9 +277,12 @@ class _Tokenizer(HTMLParser):
                     depth=len(self._elems) + 1,
                     negative=self._neg_depth > 0,
                     attr_pos=attr_pos,
+                    pre=self._pre_depth > 0,
                 )
             )
-        self._elems.append(_Elem(tag, neg_bump, content_bump, drop, is_block, is_a))
+        self._elems.append(
+            _Elem(tag, neg_bump, content_bump, drop, is_block, is_a, is_pre)
+        )
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self._count_childless(tag)
@@ -303,6 +312,8 @@ class _Tokenizer(HTMLParser):
             self._content_depth -= 1
         if elem.is_a:
             self._a_depth -= 1
+        if elem.is_pre:
+            self._pre_depth -= 1
         if elem.is_block and len(self._blocks) > 1:
             self._emit(self._blocks.pop())
 
@@ -322,6 +333,17 @@ class _Tokenizer(HTMLParser):
             if not data:
                 return
         blk = self._blocks[-1]
+        if self._pre_depth > 0:
+            # <pre> semantics: whitespace IS content (code indentation,
+            # line structure) even when highlighters split the text across
+            # per-token spans — collapse would fuse a program into one line
+            if blk.first_pos < 0 and not data.isspace():
+                blk.first_pos = self._text_pos
+            blk.parts.append(data)
+            if self._a_depth > 0:
+                blk.link_parts.append(data)
+            self._text_pos += len(data)
+            return
         if data.isspace():
             # keep inter-element whitespace (collapsed at emit), but it
             # neither anchors reading order nor counts as link text
@@ -341,9 +363,16 @@ class _Tokenizer(HTMLParser):
     def _emit(self, blk: _Block) -> None:
         if len(self.records) >= MAX_NODES_PER_PAGE:
             return
-        text = _WS_RE.sub(" ", "".join(blk.parts)).strip()
-        if not text:
-            return
+        if blk.pre:
+            # verbatim interior; the newline hugging the start tag and any
+            # trailing layout whitespace are markup, not content
+            text = "".join(blk.parts).lstrip("\n").rstrip()
+            if not text.strip():
+                return
+        else:
+            text = _WS_RE.sub(" ", "".join(blk.parts)).strip()
+            if not text:
+                return
         link_text = _WS_RE.sub(" ", "".join(blk.link_parts)).strip()
         self.records.append(
             {
@@ -522,6 +551,9 @@ def extract_main_text(
                 | ((link_density < 0.25) & (scores >= 0.2 * SCORE_THRESH))
             )
         )
+        is_heading = np.isin(
+            tags_a.astype(str), ("h1", "h2", "h3", "h4", "h5", "h6")
+        )
         while True:
             prev_same = np.zeros_like(keep)
             next_same = np.zeros_like(keep)
@@ -537,7 +569,13 @@ def extract_main_text(
             same_prev = (same_tag | dl_pair) & (depths[1:] == depths[:-1])
             prev_same[1:] = keep[:-1] & same_prev
             next_same[:-1] = keep[1:] & same_prev
-            rescued = cand & (prev_same | next_same)
+            # heading rescue (readability keeps headers inside the content
+            # container): a clean link-free heading that immediately
+            # precedes kept content introduces it — short section titles
+            # ("Notes") carry too few chars to clear the threshold alone
+            next_kept = np.zeros_like(keep)
+            next_kept[:-1] = keep[1:]
+            rescued = cand & (prev_same | next_same | (is_heading & next_kept))
             if not rescued.any():
                 break
             keep |= rescued
