@@ -974,4 +974,181 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "Daylight\n\n"
         "Plan passages around the short afternoon light and treat every departure after lunch as a night sail.",
     ),
+    (
+        71,
+        "truncated teaser: hidden full body never leaks, teaser is content",
+        """<body><main><article>
+        <h1>Inquiry findings published</h1>
+        <p class="teaser">The inquiry found that the collision was caused by a misread signal, compounded by fatigue on the night shift. Continue reading below.</p>
+        <div class="full-body" style="display:none">
+        <p>Subscribers see this full text only after the metered script flips the style, which a crawler never executes.</p>
+        <p>The complete timeline spans fourteen pages of radio logs.</p>
+        </div>
+        </article></main></body>""",
+        "Inquiry findings published\n\n"
+        "The inquiry found that the collision was caused by a misread signal, compounded by fatigue on the night shift. Continue reading below.",
+    ),
+    (
+        72,
+        "CMS div-paragraphs: article with no p tags at all",
+        """<body><main><article>
+        <h1>Port authority elects a new chair</h1>
+        <div class="paragraph">The board elected its first chair from the pilotage service, ending a century of appointments from the shipping lines.</div>
+        <div class="paragraph">Her first act was to publish the berth allocation ledger, a document the port had treated as confidential since 1962.</div>
+        </article></main></body>""",
+        "Port authority elects a new chair\n\n"
+        "The board elected its first chair from the pilotage service, ending a century of appointments from the shipping lines.\n\n"
+        "Her first act was to publish the berth allocation ledger, a document the port had treated as confidential since 1962.",
+    ),
+    (
+        73,
+        "sponsored-content label and disclosure box stripped, body kept",
+        """<body><main><article>
+        <div class="sponsor-label">Sponsored content</div>
+        <h1>Five habits of careful skippers</h1>
+        <p>Careful skippers brief the crew before leaving the berth, because the manoeuvre everyone understands is the one that goes quietly right.</p>
+        <p>They also log engine hours religiously; the pattern in the numbers warns long before the smell of hot oil does.</p>
+        <div class="disclosure sponsor">This article was paid for by Harbour Insurance Ltd. Our editorial team had no role in its production.</div>
+        </article></main></body>""",
+        "Five habits of careful skippers\n\n"
+        "Careful skippers brief the crew before leaving the berth, because the manoeuvre everyone understands is the one that goes quietly right.\n\n"
+        "They also log engine hours religiously; the pattern in the numbers warns long before the smell of hot oil does.",
+    ),
+    (
+        74,
+        "language switcher and hreflang alternates stripped",
+        """<body>
+        <nav class="lang-switch"><a href="/nl/">Nederlands</a> <a href="/de/">Deutsch</a> <a href="/fr/">Fran\u00e7ais</a></nav>
+        <main><article>
+        <h1>Ice season opens two weeks early</h1>
+        <p>The icebreaker fleet began escort duty on Monday, the earliest start since records began, after a cold snap froze the inner anchorage.</p>
+        </article></main>
+        <div class="footer-langs"><a hreflang="sv" href="/sv/">Svenska</a> <a hreflang="fi" href="/fi/">Suomi</a></div>
+        </body>""",
+        "Ice season opens two weeks early\n\n"
+        "The icebreaker fleet began escort duty on Monday, the earliest start since records began, after a cold snap froze the inner anchorage.",
+    ),
+    (
+        75,
+        "inline newsletter signup card mid-article stripped",
+        """<body><main><article>
+        <h1>Dredger returns after refit</h1>
+        <p>The dredger returned to the channel on Thursday with new pumps that cut a full day from the weekly maintenance cycle.</p>
+        <div class="newsletter-card"><h4>Stay informed</h4><p>Get the harbour briefing in your inbox every morning.</p><input placeholder="you@example.com"><button>Sign up</button></div>
+        <p>Channel depth surveys resume next week, and the results will set the draft limits for the winter schedule.</p>
+        </article></main></body>""",
+        "Dredger returns after refit\n\n"
+        "The dredger returned to the channel on Thursday with new pumps that cut a full day from the weekly maintenance cycle.\n\n"
+        "Channel depth surveys resume next week, and the results will set the draft limits for the winter schedule.",
+    ),
+    (
+        76,
+        "trending rail and weather widget in sidebar stripped",
+        """<body><main>
+        <article>
+        <h1>Night ferry timetable consultation opens</h1>
+        <p>Residents have six weeks to comment on the proposal to end the two o'clock sailing, which the operator says carries eleven passengers on an average night.</p>
+        </article>
+        <div class="sidebar"><h3>Trending</h3><ol><li><a href="/t/1">Bridge repair delayed again</a></li><li><a href="/t/2">Marina fees to rise</a></li></ol>
+        <div class="weather-widget">Harbour now: 4\u00b0C, wind NW 6, visibility good</div></div>
+        </main></body>""",
+        "Night ferry timetable consultation opens\n\n"
+        "Residents have six weeks to comment on the proposal to end the two o'clock sailing, which the operator says carries eleven passengers on an average night.",
+    ),
+    (
+        77,
+        "carousel clone slides marked aria-hidden never double the text",
+        """<body><main><article>
+        <h1>Three views of the new lock</h1>
+        <div class="carousel">
+        <div class="slide">From the water the gates look impossibly thin, a trick of the tapered steel.</div>
+        <div class="slide clone" aria-hidden="true">From the water the gates look impossibly thin, a trick of the tapered steel.</div>
+        </div>
+        <p>The lock opens to traffic in May, six weeks ahead of the contract date.</p>
+        </article></main></body>""",
+        "Three views of the new lock\n\n"
+        "From the water the gates look impossibly thin, a trick of the tapered steel.\n\n"
+        "The lock opens to traffic in May, six weeks ahead of the contract date.",
+    ),
+    (
+        78,
+        "microdata content attributes never leak, visible itemprop text kept",
+        """<body><main><article itemscope itemtype="https://schema.org/Product">
+        <h1 itemprop="name">Harbour chart, 2024 edition</h1>
+        <meta itemprop="sku" content="CH-2024-11">
+        <meta itemprop="priceCurrency" content="EUR">
+        <p itemprop="description">The 2024 edition adds the dredged approach channel and corrects the charted depth over the old training wall.</p>
+        <p>Price: <span itemprop="price" content="12.99">\u20ac12.99</span> including the digital raster download.</p>
+        </article></main></body>""",
+        "Harbour chart, 2024 edition\n\n"
+        "The 2024 edition adds the dredged approach channel and corrects the charted depth over the old training wall.\n\n"
+        "Price: \u20ac12.99 including the digital raster download.",
+    ),
+    (
+        79,
+        "jump-to-top links between sections stripped, headings kept",
+        """<body><main><article>
+        <h1 id="top">Mooring fees explained</h1>
+        <h2>Visitor berths</h2>
+        <p>Visitor berths are charged by length overall per night, with the third night free outside the festival weeks.</p>
+        <p class="top-link"><a href="#top">\u2191 Back to top</a></p>
+        <h2>Annual contracts</h2>
+        <p>Annual contracts include winter storage ashore, which is where the real value hides for boats under ten metres.</p>
+        <p class="top-link"><a href="#top">\u2191 Back to top</a></p>
+        </article></main></body>""",
+        "Mooring fees explained\n\n"
+        "Visitor berths\n\n"
+        "Visitor berths are charged by length overall per night, with the third night free outside the festival weeks.\n\n"
+        "Annual contracts\n\n"
+        "Annual contracts include winter storage ashore, which is where the real value hides for boats under ten metres.",
+    ),
+    (
+        80,
+        "blockquote attribution via cite element stays with the quote",
+        """<body><main><article>
+        <h1>Harbourmaster reflects on forty years</h1>
+        <p>At her retirement reception the harbourmaster was asked what had changed most in four decades on the quay.</p>
+        <blockquote><p>The ships got bigger and the margins got smaller, but the water never learned to forgive carelessness.</p>
+        <p>\u2014 <cite>Marta Lindqvist</cite>, harbourmaster 1984\u20132024</p></blockquote>
+        </article></main></body>""",
+        "Harbourmaster reflects on forty years\n\n"
+        "At her retirement reception the harbourmaster was asked what had changed most in four decades on the quay.\n\n"
+        "The ships got bigger and the margins got smaller, but the water never learned to forgive carelessness.\n\n"
+        "\u2014 Marta Lindqvist, harbourmaster 1984\u20132024",
+    ),
+    (
+        81,
+        "abbr expansions live in title attributes and never leak",
+        """<body><main><article>
+        <h1>Transponder rules tighten</h1>
+        <p>An <abbr title="Automatic Identification System">AIS</abbr> transponder becomes mandatory inside the breakwater from May, aligning the port with <abbr title="International Maritime Organization">IMO</abbr> guidance.</p>
+        </article></main></body>""",
+        "Transponder rules tighten\n\n"
+        "An AIS transponder becomes mandatory inside the breakwater from May, aligning the port with IMO guidance.",
+    ),
+    (
+        82,
+        "editorial corrections: del text retracted, ins text is current",
+        """<body><main><article>
+        <h1>Capacity figure corrected</h1>
+        <p>The ferry carries <del>three hundred</del> <ins>three hundred and forty</ins> passengers at winter loading, the operator said in an amended statement.</p>
+        <p>An earlier version of this article understated the certified capacity.</p>
+        </article></main></body>""",
+        "Capacity figure corrected\n\n"
+        "The ferry carries three hundred and forty passengers at winter loading, the operator said in an amended statement.\n\n"
+        "An earlier version of this article understated the certified capacity.",
+    ),
+    (
+        83,
+        "client-side template markup never leaks, server-rendered text does",
+        """<body><main><article>
+        <h1>Berth availability board goes live</h1>
+        <p>The availability board now updates from the mooring sensors directly, replacing the morning chalkboard after a hundred and nine years.</p>
+        <template id="row-tpl"><div class="row"><span class="berth">{{berth}}</span><span class="state">{{state}}</span> placeholder row never rendered</div></template>
+        <p>Sensor data lags by at most ninety seconds, the port's IT office says.</p>
+        </article></main></body>""",
+        "Berth availability board goes live\n\n"
+        "The availability board now updates from the mooring sensors directly, replacing the morning chalkboard after a hundred and nine years.\n\n"
+        "Sensor data lags by at most ninety seconds, the port's IT office says.",
+    ),
 ]

@@ -67,7 +67,10 @@ _DROP_TAGS = frozenset(
     (
         "script style noscript template svg head title iframe object embed "
         "button select option textarea datalist video audio canvas dialog "
-        "rt rp annotation annotation-xml progress meter"
+        # <del> is REMOVED content: rendering strikes it through, a text
+        # corpus must not read the retracted figure as current (the <ins>
+        # replacement stays). <s> (stylistic strikethrough) is kept.
+        "rt rp annotation annotation-xml progress meter del"
     ).split()
 )
 # Hard-negative containers: ancestry in one of these zeroes the score.
