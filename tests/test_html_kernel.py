@@ -186,3 +186,39 @@ def test_score_nodes_vectorized_semantics():
     # negative ancestry zeroes
     s2 = score_nodes(tags, text_lens, link_lens, ~neg, pos)
     assert (s2 == 0).all()
+
+
+def test_pre_mode_edges():
+    """Pre-verbatim semantics hold at the edges: a <pre> under negative
+    ancestry never leaks, a block nested INSIDE <pre> inherits verbatim
+    whitespace, and the raw record for a long span-soup pre keeps its
+    newlines while non-pre blocks still collapse."""
+    from ocr_spark.kernels.html import extract_main_text, tokenize_html
+
+    # negative ancestry wins over pre
+    t, _, _ = extract_main_text(
+        b"<body><nav><pre>chrome code\nnever leaks</pre></nav>"
+        b"<main><article><p>Long enough paragraph of real content "
+        b"for scoring baseline here.</p></article></main></body>"
+    )
+    assert "chrome code" not in t
+
+    # a div nested inside pre inherits verbatim whitespace in its record
+    recs = tokenize_html(
+        b"<body><main><article><pre><div>x = 1\ny = 2</div></pre>"
+        b"</article></main></body>"
+    )
+    by_tag = {r["tag"]: r for r in recs}
+    assert by_tag["div"]["text"] == "x = 1\ny = 2"
+
+    # span-fragmented pre keeps line structure; sibling p still collapses
+    recs = tokenize_html(
+        b"<body><main><article>"
+        b"<p>some\n   wrapped      paragraph text</p>"
+        b"<pre><span>def</span> <span>f</span>():\n"
+        b"    <span>return</span> 1</pre>"
+        b"</article></main></body>"
+    )
+    by_tag = {r["tag"]: r for r in recs}
+    assert by_tag["pre"]["text"] == "def f():\n    return 1"
+    assert by_tag["p"]["text"] == "some wrapped paragraph text"
