@@ -75,6 +75,7 @@ _DROP_TAGS = frozenset(
 )
 # Hard-negative containers: ancestry in one of these zeroes the score.
 _NEGATIVE_TAGS = frozenset("nav footer header aside form".split())
+_HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 # Block-level containers: closing one emits a node row from its direct text.
 # The sectioning negatives (nav/footer/header/aside/form) are block
 # containers too: their direct text must become a hard-negative row of
@@ -554,8 +555,8 @@ def extract_main_text(
                 | ((link_density < 0.25) & (scores >= 0.2 * SCORE_THRESH))
             )
         )
-        is_heading = np.isin(
-            tags_a.astype(str), ("h1", "h2", "h3", "h4", "h5", "h6")
+        is_heading = np.fromiter(
+            (t in _HEADING_TAGS for t in tags_a), bool, count=len(tags_a)
         )
         while True:
             prev_same = np.zeros_like(keep)

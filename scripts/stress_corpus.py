@@ -33,7 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def build_corpus(spark, replicate: int):
+def build_corpus(spark, replicate: int, group_size: int | None = None):
+    """sf0.1 docs x replicate. Without ``group_size`` every original
+    anchors one replicate-member near-dup cluster (the round-2 recipe —
+    quadratic pairs per cluster, right for 64). With ``group_size`` the
+    copies split into groups whose texts diverge heavily (every 3rd word
+    group-salted → cross-group shingle Jaccard ~0), bounding clusters to
+    ``group_size`` members so pair counts stay linear in corpus size —
+    the shape that makes a 1.28M-doc closure run tractable AND realistic
+    (real crawls have many small clusters, not 256-member ones)."""
     import pyspark.sql.functions as F
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
@@ -42,6 +50,17 @@ def build_corpus(spark, replicate: int):
     reps = docs.withColumn(
         "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
     )
+    if group_size:
+        reps = reps.withColumn(
+            "grp", (F.col("rep") / group_size).cast("int")
+        ).withColumn(
+            "text",
+            F.expr(
+                "concat_ws(' ', transform(split(text, ' '), (w, i) -> "
+                "CASE WHEN grp > 0 AND i % 3 = 2 "
+                "THEN concat('g', CAST(grp AS STRING)) ELSE w END))"
+            ),
+        )
     # deterministic perturbation: rep%8 != 0 prepends a rep-specific token
     # and swaps the 7th word, so copies are near- but not exact dups
     words = F.split("text", " ")
@@ -139,7 +158,7 @@ from ocr_spark.operators.dedup import lsh_candidate_pairs, verify_pairs, dup_clu
 from scripts.stress_corpus import build_corpus
 spark = get_spark("resume_demo", master="local[32]", shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
-docs = build_corpus(spark, int(sys.argv[1]))
+docs = build_corpus(spark, int(sys.argv[1]), group_size=8)
 pairs = verify_pairs(docs, lsh_candidate_pairs(docs), min_jaccard=0.7).select(
     "doc_id_a", "doc_id_b")
 labels = dup_clusters(pairs, materialize="table", table_path=sys.argv[2])
@@ -168,10 +187,21 @@ def resume_demo(replicate: int, kill_after: float):
         )
 
     try:
-        print(f"resume demo: sf0.1 x {replicate}, kill at {kill_after}s")
+        print(f"resume demo: sf0.1 x {replicate}, group_size=8")
         t0 = time.monotonic()
         p = launch()
-        time.sleep(kill_after)
+        # event-based kill: wait for the iteration to durably complete at
+        # least one labels round, then SIGKILL mid-closure (no cleanup)
+        while True:
+            done_rounds = [
+                d for d in (os.listdir(tdir) if os.path.isdir(tdir) else [])
+                if d.startswith("labels_")
+                and os.path.exists(os.path.join(tdir, d, "_SUCCESS"))
+            ]
+            if len(done_rounds) >= 2 or p.poll() is not None:
+                break
+            time.sleep(2.0)
+        time.sleep(kill_after)  # let the NEXT round get partway in
         p.send_signal(signal.SIGKILL)
         p.wait()
         killed_at = time.monotonic() - t0
@@ -202,7 +232,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicate", type=int, default=64)
     ap.add_argument("--resume-demo", action="store_true")
-    ap.add_argument("--kill-after", type=float, default=90.0)
+    ap.add_argument("--kill-after", type=float, default=5.0)
     args = ap.parse_args()
     if args.resume_demo:
         resume_demo(max(args.replicate, 256), args.kill_after)
