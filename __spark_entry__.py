@@ -562,6 +562,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       PLTE), so the decode maps indices through the palette yet yields
       pixel-identical features; only the byte size grows by the PLTE
       chunk (+780) — proving the palette decode path on the contract.
+      doc_id % 16 == 8 ships the raster ADAM7-INTERLACED: the
+      de-interlaced pixels are identical, and the byte size follows the
+      per-pass closed form (H=8 pass heights 1,1,1,2,2,4,4 × widths
+      ceil(W/8)…W, empty passes omitted) — proving the interlace decode
+      path on the contract.
     - doc_id % 4 == 2: AUDIO. doc_id % 8 == 2: a 16-bit PCM WAV
       (``kernels.wav``) whose samples are the doc's first min(n,2000)
       codepoints mapped to (cp % 256)·200 − 25500 (full int16 headroom,
@@ -646,6 +651,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                             np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
                         )
                         payload = encode_png(pix, level=0, palette=pal)
+                    elif doc_id % 16 == 8:
+                        # Adam7-interlaced container: the de-interlaced
+                        # raster is pixel-identical; the byte size follows
+                        # the per-pass closed form the oracle mirrors
+                        payload = encode_png(pix, level=0, interlace=True)
                     else:
                         payload = encode_png(pix, level=0)
                 elif doc_id % 4 == 2:
@@ -1636,7 +1646,8 @@ def oracle_sql() -> dict[str, str]:
             -- glyph strips); frame f renders 'v<doc_id>f<f>', so the
             -- video-OCR frame_text is the '|'-join of those strings.
             WITH n_audio AS (
-              SELECT doc_id, least(greatest(length(text), 1), 2000) AS n
+              SELECT doc_id, least(greatest(length(text), 1), 2000) AS n,
+                     least(greatest(octet_length(encode(text)), 1), 384) AS w
               FROM documents
             )
             SELECT d.doc_id AS media_id,
@@ -1647,7 +1658,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN d.doc_id % 4 = 2 THEN 'wav'
                         WHEN d.doc_id % 4 = 1 THEN 'jpeg'
                         ELSE 'avi' END AS fmt,
-                   CASE WHEN d.doc_id % 4 = 0 THEN
+                   CASE WHEN d.doc_id % 16 = 8 THEN
+                     -- Adam7 at H=8: pass heights 1,1,1,2,2,4,4; widths
+                     -- ceil(W/8), ceil((W-4)/8), ceil(W/4), ceil((W-2)/4),
+                     -- ceil(W/2), ceil((W-1)/2), W; empty passes (pw=0)
+                     -- contribute nothing; raw <= 3086 so one stored
+                     -- block: 57 chunk overhead + 11 zlib framing + raw
+                     CAST(68
+                       + ((a.w + 7) // 8 + 1)
+                       + CASE WHEN a.w >= 5
+                              THEN (a.w - 4 + 7) // 8 + 1 ELSE 0 END
+                       + ((a.w + 3) // 4 + 1)
+                       + CASE WHEN a.w >= 3
+                              THEN 2 * ((a.w - 2 + 3) // 4 + 1) ELSE 0 END
+                       + 2 * ((a.w + 1) // 2 + 1)
+                       + CASE WHEN a.w >= 2
+                              THEN 4 * ((a.w - 1 + 1) // 2 + 1) ELSE 0 END
+                       + 4 * (a.w + 1)
+                       AS BIGINT)
+                   WHEN d.doc_id % 4 = 0 THEN
                      CAST(76 + 8 * least(greatest(octet_length(encode(d.text)), 1),
                                          384)
                           + CASE WHEN d.doc_id % 8 = 4 THEN 780 ELSE 0 END

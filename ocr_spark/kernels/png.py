@@ -65,16 +65,23 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def encode_png(
-    img: np.ndarray, level: int = 6, palette: np.ndarray | None = None
+    img: np.ndarray,
+    level: int = 6,
+    palette: np.ndarray | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """uint8 array (H, W) grayscale or (H, W, 3) RGB → PNG bytes; with
     ``palette`` (N≤256 × 3 uint8), ``img`` is an (H, W) index raster and
-    the output is a color-type-3 paletted PNG.
+    the output is a color-type-3 paletted PNG. ``interlace=True`` emits
+    an Adam7 stream (forward pass split, spec order; empty passes
+    contribute no scanlines) — the twin of the decoder's de-interlacer
+    and the fixture generator for the media contract's interlaced rows.
 
     Filter 0 on every scanline: the deflate stream is then a pure function
     of the pixel bytes, and at ``level=0`` the total file size is the
     closed form ``8 + 25 + 12 + zlib_stored_size(H*(W*C+1)) + 12``
-    (plus ``12 + 3N`` for the PLTE chunk of a paletted image).
+    (plus ``12 + 3N`` for the PLTE chunk of a paletted image; for Adam7
+    the raw size is the sum over non-empty passes of ``ph*(pw*C+1)``).
     """
     img = np.asarray(img)
     if img.dtype != np.uint8:
@@ -97,12 +104,30 @@ def encode_png(
     else:
         raise ValueError(f"encode_png wants (H,W) or (H,W,3), got {img.shape}")
     h, w = img.shape[0], img.shape[1]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    # prepend the filter-type byte (0) to each scanline
-    raw = np.empty((h, w * channels + 1), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = img.reshape(h, w * channels)
-    idat = zlib.compress(raw.tobytes(), level)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        px = img.reshape(h, w, channels) if img.size else img.reshape(
+            h, max(w, 0), channels
+        )
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if not ph or not pw:
+                continue  # empty passes contribute no scanlines at all
+            rows = np.empty((ph, pw * channels + 1), dtype=np.uint8)
+            rows[:, 0] = 0
+            rows[:, 1:] = sub.reshape(ph, pw * channels)
+            parts.append(rows.tobytes())
+        idat = zlib.compress(b"".join(parts), level)
+    else:
+        # prepend the filter-type byte (0) to each scanline
+        raw = np.empty((h, w * channels + 1), dtype=np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = img.reshape(h, w * channels)
+        idat = zlib.compress(raw.tobytes(), level)
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)

@@ -311,3 +311,29 @@ def test_fuzz_wild_containers_fail_closed():
                 decode_png(bytes(b))
             except ValueError:
                 pass
+
+
+def test_encode_interlace_roundtrip_and_closed_form_size():
+    """The engine's own Adam7 encoder round-trips through the
+    de-interlacing decoder and its level-0 size follows the per-pass
+    closed form (the media contract's oracle formula)."""
+    from ocr_spark.kernels.png import zlib_stored_size
+
+    rng = _rng(11)
+    for h, w in [(8, 1), (8, 2), (8, 5), (8, 17), (8, 384), (1, 1),
+                 (3, 9), (16, 16), (9, 9)]:
+        img = rng.integers(0, 256, (h, w), np.uint8)
+        b = encode_png(img, level=0, interlace=True)
+        np.testing.assert_array_equal(decode_png(b), img)
+        raw = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = max(0, (w - x0 + xs - 1) // xs)
+            ph = max(0, (h - y0 + ys - 1) // ys)
+            if pw and ph:
+                raw += ph * (pw + 1)
+        assert len(b) == 8 + 25 + 12 + 12 + zlib_stored_size(raw), (h, w)
+        # RGB interlace too
+        img3 = rng.integers(0, 256, (h, w, 3), np.uint8)
+        np.testing.assert_array_equal(
+            decode_png(encode_png(img3, level=0, interlace=True)), img3
+        )
