@@ -146,6 +146,32 @@ def parse_warc(data: bytes, is_gzip: bool) -> list[dict]:
     return out
 
 
+def _warc_pages_fn(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(path, content) archive rows → pages rows; shared by the batch and
+    streaming WARC sources (one parse path, two execution modes)."""
+    for pdf in batches:
+        rows: list[dict] = []
+        for p, content in zip(pdf["path"], pdf["content"]):
+            recs = parse_warc(bytes(content), str(p).endswith(".gz"))
+            for r in recs:
+                ts = pd.to_datetime(r["warc_ts"], utc=True, errors="coerce")
+                rows.append(
+                    {
+                        "url": r["url"],
+                        "warc_ts": None
+                        if ts is pd.NaT
+                        else ts.tz_localize(None),
+                        "html": r["html"],
+                        "text": None,
+                        "lang": None,
+                    }
+                )
+        if rows:
+            yield pd.DataFrame(rows)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC file glob → pages DataFrame (url, warc_ts, html, text, lang).
 
@@ -153,29 +179,27 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     columns populated downstream (language ID runs post-extraction).
     """
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(_warc_pages_fn, schema=PAGES_SCHEMA)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: list[dict] = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                recs = parse_warc(bytes(content), str(p).endswith(".gz"))
-                for r in recs:
-                    ts = pd.to_datetime(r["warc_ts"], utc=True, errors="coerce")
-                    rows.append(
-                        {
-                            "url": r["url"],
-                            "warc_ts": None
-                            if ts is pd.NaT
-                            else ts.tz_localize(None),
-                            "html": r["html"],
-                            "text": None,
-                            "lang": None,
-                        }
-                    )
-            if rows:
-                yield pd.DataFrame(rows)
 
-    return files.mapInPandas(fn, schema=PAGES_SCHEMA)
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of ``read_warc``: each newly-arrived archive file is
+    one micro-batch unit (the continuous crawl-ingest front door — a
+    Common Crawl segment drop becomes incremental work, with checkpoint
+    resume handled by the engine)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile source's fixed schema, spelled out because
+        # streaming file sources require one explicitly
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_warc_pages_fn, schema=PAGES_SCHEMA)
 
 
 def write_warc(path: str, records: list[dict], compress: bool = False) -> None:

@@ -184,3 +184,34 @@ def stream_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_extract_warc(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental WARC ingestion: newly-landed ``.warc(.gz)`` archives →
+    parsed pages → fused extraction → partitioned parquet, exactly-once
+    via the checkpoint. The continuous-crawl front door: a production
+    deployment points this at the bucket where crawl segments land and
+    swaps the trigger; the parse/extract stages are byte-identical to the
+    batch ``read_warc`` path (shared ``_warc_pages_fn``)."""
+    from ocr_spark.operators.extract_html import extract_pages
+    from ocr_spark.sinks.partitioned import with_partition_keys
+    from ocr_spark.sources.warc import read_warc_stream
+
+    pages = read_warc_stream(spark, warc_dir)
+    extracted = with_partition_keys(extract_pages(pages)).drop("salt")
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("crawl_date", "host_bucket")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

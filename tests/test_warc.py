@@ -206,3 +206,44 @@ def test_warc_fixture_contract_roundtrip(spark, tmp_path, monkeypatch):
     assert got == expected
     # WARC-Date survives the header parse: every page has a timestamp
     assert pages.filter(F.col("warc_ts").isNull()).count() == 0
+
+
+def test_warc_streaming_twin_and_incremental_resume(spark, tmp_path, monkeypatch):
+    """The streaming WARC path equals the batch path, and a second
+    AvailableNow run after new archives land processes ONLY the new files
+    (checkpoint resume — the continuous-crawl contract)."""
+    import os
+    import shutil
+
+    from ocr_spark.sources.warc import read_warc
+    from ocr_spark.sources.warc import warc_fixture
+    from ocr_spark.streaming.extract_stream import stream_extract_warc
+
+    monkeypatch.setenv("SPARK_GRAFT_FIXTURE_CACHE", str(tmp_path / "cache"))
+    sf = "/root/testdata/sf0.001"
+    built = warc_fixture(spark, sf, n_files=4)
+    warc_dir = str(tmp_path / "landing")
+    os.makedirs(warc_dir)
+    files = sorted(f for f in os.listdir(built) if f.endswith(".warc.gz"))
+    assert len(files) >= 2
+    # first drop: all but one archive
+    for f in files[:-1]:
+        shutil.copy(os.path.join(built, f), warc_dir)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_extract_warc(spark, warc_dir, out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).count()
+    expect_first = read_warc(spark, warc_dir + "/*.warc.gz").count()
+    assert first == expect_first > 0
+
+    # second drop: the remaining archive lands; resume processes only it
+    shutil.copy(os.path.join(built, files[-1]), warc_dir)
+    q = stream_extract_warc(spark, warc_dir, out, ckpt)
+    q.awaitTermination(120)
+    total = spark.read.parquet(out).count()
+    assert total == 500  # the whole sf0.001 corpus exactly once
+    # extracted text matches the batch contract per url
+    row = spark.read.parquet(out).select("url", "extracted_text").first()
+    assert row.extracted_text
