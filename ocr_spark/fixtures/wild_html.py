@@ -1151,4 +1151,105 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "The availability board now updates from the mooring sensors directly, replacing the morning chalkboard after a hundred and nine years.\n\n"
         "Sensor data lags by at most ninety seconds, the port's IT office says.",
     ),
+    (
+        84,
+        "mega-chrome page: tiny article survives cookie wall, sticky bars",
+        """<body>
+        <div class="cookie-banner">We and our 142 partners use cookies to personalise content. <button>Accept all</button> <button>Manage options</button></div>
+        <header class="masthead sticky"><a href="/">The Quay Times</a><nav><a href="/news">News</a><a href="/sport">Sport</a><a href="/weather">Weather</a><a href="/tides">Tides</a></nav></header>
+        <div class="app-banner">Read this in the app — faster, offline, push alerts. <a href="/app">Install</a></div>
+        <main><article>
+        <h1>Pilot boat renamed after retiring coxswain</h1>
+        <p>The relief pilot boat will carry the name Anna Viksten from May, honouring thirty-one years of service on the approaches.</p>
+        </article></main>
+        <div class="newsletter-footer">Get the morning briefing. <input placeholder="email"><button>Subscribe</button></div>
+        <footer><a href="/about">About</a> <a href="/privacy">Privacy</a> <a href="/terms">Terms</a> &copy; 2024</footer>
+        </body>""",
+        "Pilot boat renamed after retiring coxswain\n\n"
+        "The relief pilot boat will carry the name Anna Viksten from May, honouring thirty-one years of service on the approaches.",
+    ),
+    (
+        85,
+        "hidden print-only duplicate never doubles the article",
+        """<body><main>
+        <article class="screen-version">
+        <h1>Lock gates to close for survey</h1>
+        <p>Divers will survey the mitre seals on Thursday morning, closing the lock to all traffic between six and eleven.</p>
+        </article>
+        <article class="print-version" style="display:none">
+        <h1>Lock gates to close for survey</h1>
+        <p>Divers will survey the mitre seals on Thursday morning, closing the lock to all traffic between six and eleven.</p>
+        <p>Printed from The Quay Times on demand.</p>
+        </article>
+        </main></body>""",
+        "Lock gates to close for survey\n\n"
+        "Divers will survey the mitre seals on Thursday morning, closing the lock to all traffic between six and eleven.",
+    ),
+    (
+        86,
+        "unified diff in pre keeps its +/- line structure",
+        """<body><main><article>
+        <h1>Patch notes: harbour API v2.3</h1>
+        <p>The tide endpoint now reports heights relative to chart datum, a one-line change with a long migration tail.</p>
+        <pre class="diff">-    height = tide_m + MSL_OFFSET
++    height = tide_m  # chart datum, breaking change
+     return round(height, 2)</pre>
+        <p>Clients pinning the old behaviour can pass datum=msl until v3.</p>
+        </article></main></body>""",
+        "Patch notes: harbour API v2.3\n\n"
+        "The tide endpoint now reports heights relative to chart datum, a one-line change with a long migration tail.\n\n"
+        '''-    height = tide_m + MSL_OFFSET
++    height = tide_m  # chart datum, breaking change
+     return round(height, 2)'''
+        "\n\n"
+        "Clients pinning the old behaviour can pass datum=msl until v3.",
+    ),
+    (
+        87,
+        "nested blockquotes: the quote within the quote is content",
+        """<body><main><article>
+        <h1>Letters: on the proposed marina</h1>
+        <p>A reader responds to last week's editorial.</p>
+        <blockquote><p>Your editorial claimed the marina would, and I quote,</p>
+        <blockquote><p>pay for itself within a decade through berth fees alone,</p></blockquote>
+        <p>which no published business case supports.</p></blockquote>
+        </article></main></body>""",
+        "Letters: on the proposed marina\n\n"
+        "A reader responds to last week's editorial.\n\n"
+        "Your editorial claimed the marina would, and I quote,\n\n"
+        "pay for itself within a decade through berth fees alone,\n\n"
+        "which no published business case supports.",
+    ),
+    (
+        88,
+        "glossary with dfn terms: definitions read inline",
+        """<body><main><article>
+        <h1>Glossary of mooring terms</h1>
+        <p>A <dfn>spring line</dfn> runs diagonally from bow or stern to stop the boat surging along the berth.</p>
+        <p>A <dfn>fender board</dfn> hangs outside the fenders against a piled quay, spreading point loads that would burst a fender.</p>
+        </article></main></body>""",
+        "Glossary of mooring terms\n\n"
+        "A spring line runs diagonally from bow or stern to stop the boat surging along the berth.\n\n"
+        "A fender board hangs outside the fenders against a piled quay, spreading point loads that would burst a fender.",
+    ),
+    (
+        89,
+        "terms-of-service nested ordered clauses are content",
+        """<body><main><article>
+        <h1>Berthing terms</h1>
+        <ol>
+        <li>Vessels berth at the owner's risk, and the harbour office must hold current insurance details before arrival.</li>
+        <li>Fees are due in advance and include the following services:
+        <ol><li>Fresh water at every pontoon, metered above forty litres per day.</li>
+        <li>Shore power where fitted, billed by the meter at cost.</li></ol></li>
+        <li>Abandoned vessels may be sold after ninety days of unpaid fees and two written notices.</li>
+        </ol>
+        </article></main></body>""",
+        "Berthing terms\n\n"
+        "Vessels berth at the owner's risk, and the harbour office must hold current insurance details before arrival.\n\n"
+        "Fees are due in advance and include the following services:\n\n"
+        "Fresh water at every pontoon, metered above forty litres per day.\n\n"
+        "Shore power where fitted, billed by the meter at cost.\n\n"
+        "Abandoned vessels may be sold after ninety days of unpaid fees and two written notices.",
+    ),
 ]
