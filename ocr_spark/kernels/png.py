@@ -320,18 +320,26 @@ def decode_png(data: bytes) -> np.ndarray:
     if raw.size != expect:
         raise ValueError(f"bad IDAT size {raw.size}, want {expect}")
 
-    full = np.zeros((h, w, channels), dtype=np.uint8)
-    off = 0
-    for pw, ph, x0, y0, xs, ys in passes:
-        if not pw or not ph:
-            continue
-        st = stride(pw)
-        chunk = raw[off : off + ph * (1 + st)].reshape(ph, 1 + st)
-        off += ph * (1 + st)
-        rows = _unfilter(chunk, ph, st, fbpp)
-        samples = _rows_to_samples(rows, pw, depth, channels)
-        full[y0 : y0 + (ph - 1) * ys + 1 : ys,
-             x0 : x0 + (pw - 1) * xs + 1 : xs] = samples
+    if interlace == 0 and depth == 8:
+        # fast path for the dominant shape (non-interlaced 8-bit): no
+        # pass assembly, no extra raster copy — the production strip
+        # decode runs thousands of these per document
+        rows = _unfilter(raw.reshape(h, 1 + w * channels), h, w * channels,
+                         fbpp)
+        full = rows.reshape(h, w, channels)
+    else:
+        full = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for pw, ph, x0, y0, xs, ys in passes:
+            if not pw or not ph:
+                continue
+            st = stride(pw)
+            chunk = raw[off : off + ph * (1 + st)].reshape(ph, 1 + st)
+            off += ph * (1 + st)
+            rows = _unfilter(chunk, ph, st, fbpp)
+            samples = _rows_to_samples(rows, pw, depth, channels)
+            full[y0 : y0 + (ph - 1) * ys + 1 : ys,
+                 x0 : x0 + (pw - 1) * xs + 1 : xs] = samples
 
     if color_type == 3:
         idx = full[:, :, 0]
