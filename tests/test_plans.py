@@ -221,3 +221,16 @@ def test_video_ocr_is_map_only(spark):
     df = recognize_video_frames(media)
     assert count_exchanges(df) == 0
     assert df.collect()[0].text == "plan"
+
+
+def test_warc_path_is_map_only(spark, tmp_path, monkeypatch):
+    """binaryFile scan → WARC parse → extraction must introduce ZERO
+    exchanges: at crawl scale the archives are the parallelism unit and
+    every added shuffle would move the raw html bytes."""
+    monkeypatch.setenv("SPARK_GRAFT_FIXTURE_CACHE", str(tmp_path))
+    from ocr_spark.operators.extract_html import extract_pages
+    from ocr_spark.sources.warc import read_warc, warc_fixture
+
+    path = warc_fixture(spark, SF, n_files=2)
+    out = extract_pages(read_warc(spark, path + "/*.warc.gz"))
+    assert count_exchanges(out) == 0
