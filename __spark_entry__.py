@@ -557,11 +557,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       8×min(n,384) grayscale image, encoded as an actual PNG
       (``kernels.png``, stored-deflate level 0 so the byte size has the
       closed form 76 + 8·W), decoded back via signature sniff + IHDR
-      parse + inflate + unfilter. doc_id % 8 == 4 ships the SAME raster
+      parse + inflate + unfilter. doc_id % 16 == 4 ships the SAME raster
       as a color-type-3 PALETTED container (identity gray 256-entry
       PLTE), so the decode maps indices through the palette yet yields
       pixel-identical features; only the byte size grows by the PLTE
       chunk (+780) — proving the palette decode path on the contract.
+      doc_id % 16 == 12 ships the raster as a GIF (``kernels.gif``,
+      identity gray GCT, real LZW): the oracle recomputes the decoded
+      pixel sum as the tiled text-byte sum in SQL — a value that exists
+      only after the LZW decode + palette composite — putting the FIFTH
+      codec family under the hash gate.
       doc_id % 16 == 8 ships the raster ADAM7-INTERLACED: the
       de-interlaced pixels are identical, and the byte size follows the
       per-pass closed form (H=8 pass heights 1,1,1,2,2,4,4 × widths
@@ -609,6 +614,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ocr_spark.kernels.avi import encode_avi
     from ocr_spark.kernels.font import render_line_font
+    from ocr_spark.kernels.gif import encode_gif
     from ocr_spark.kernels.jpeg import encode_jpeg
     from ocr_spark.kernels.png import encode_png
     from ocr_spark.kernels.wav import encode_wav, g711_linear
@@ -642,7 +648,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.frombuffer(b or b"\x00", dtype=np.uint8),
                         8 * w // max(len(b), 1) + 8,
                     )[: 8 * w].reshape(8, w)
-                    if doc_id % 8 == 4:
+                    if doc_id % 16 == 4:
                         # paletted (color-type-3) container: identity gray
                         # palette (index i -> (i,i,i)), so the decoded
                         # raster is pixel-identical to the grayscale twin
@@ -651,6 +657,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                             np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
                         )
                         payload = encode_png(pix, level=0, palette=pal)
+                    elif doc_id % 16 == 12:
+                        # GIF container (fifth codec family): identity
+                        # gray GCT, so the composited RGB reduces to the
+                        # same raster; the oracle recomputes the pixel
+                        # sum as the tiled text-byte sum in SQL
+                        payload = encode_gif(pix)
                     elif doc_id % 16 == 8:
                         # Adam7-interlaced container: the de-interlaced
                         # raster is pixel-identical; the byte size follows
@@ -778,7 +790,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decoded_w",
         "decoded_h",
         F.when(
-            F.col("fmt").isin("jpeg", "wav")
+            F.col("fmt").isin("jpeg", "wav", "gif")
             | ((F.col("fmt") == "avi") & (F.col("media_id") % 8 == 3)),
             F.col("pixel_sum"),
         ).alias("pixel_sum"),
@@ -1623,9 +1635,11 @@ def oracle_sql() -> dict[str, str]:
             -- doc_id%4==0: PNG, W = min(n_text_bytes, 384), 8 rows of W
             -- px, filter-0 scanlines, stored-deflate: 8+25+12+12 fixed
             -- chunk overhead + (2 + 5 + 8*(W+1) + 4) zlib framing
-            -- = 76 + 8*W; doc_id%8==4 is the paletted (color-type-3) twin
-            -- with an identity gray 256-entry PLTE: same raster, same
-            -- dims, +780 bytes (12 chunk framing + 768 palette).
+            -- = 76 + 8*W; doc_id%16==4 is the paletted (color-type-3)
+            -- twin with an identity gray 256-entry PLTE: same raster,
+            -- same dims, +780 bytes (12 chunk framing + 768 palette);
+            -- doc_id%16==12 is the GIF twin (size not closed-form under
+            -- real LZW — the gate is the decoded pixel sum instead).
             -- doc_id%8==2: 16-bit PCM WAV of n = min(n_chars, 2000)
             -- samples v_i = (codepoint_i % 256)*200 - 25500 (empty text
             -- -> one codepoint-0 sample); container bytes = 44 + 2n,
@@ -1654,11 +1668,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.doc_id % 4 = 3 THEN 'video'
                         WHEN d.doc_id % 4 = 2 THEN 'audio'
                         ELSE 'image' END AS kind,
-                   CASE WHEN d.doc_id % 4 = 0 THEN 'png'
+                   CASE WHEN d.doc_id % 16 = 12 THEN 'gif'
+                        WHEN d.doc_id % 4 = 0 THEN 'png'
                         WHEN d.doc_id % 4 = 2 THEN 'wav'
                         WHEN d.doc_id % 4 = 1 THEN 'jpeg'
                         ELSE 'avi' END AS fmt,
-                   CASE WHEN d.doc_id % 16 = 8 THEN
+                   CASE WHEN d.doc_id % 16 = 12 THEN CAST(NULL AS BIGINT)
+                   WHEN d.doc_id % 16 = 8 THEN
                      -- Adam7 at H=8: pass heights 1,1,1,2,2,4,4; widths
                      -- ceil(W/8), ceil((W-4)/8), ceil(W/4), ceil((W-2)/4),
                      -- ceil(W/2), ceil((W-1)/2), W; empty passes (pw=0)
@@ -1679,7 +1695,7 @@ def oracle_sql() -> dict[str, str]:
                    WHEN d.doc_id % 4 = 0 THEN
                      CAST(76 + 8 * least(greatest(octet_length(encode(d.text)), 1),
                                          384)
-                          + CASE WHEN d.doc_id % 8 = 4 THEN 780 ELSE 0 END
+                          + CASE WHEN d.doc_id % 16 = 4 THEN 780 ELSE 0 END
                           AS BIGINT)
                    WHEN d.doc_id % 8 = 2 THEN CAST(44 + 2 * a.n AS BIGINT)
                    WHEN d.doc_id % 8 = 6 THEN CAST(44 + a.n + a.n % 2 AS BIGINT)
@@ -1693,7 +1709,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN d.doc_id % 4 = 2 THEN 1
                         WHEN d.doc_id % 8 = 7 THEN 8
                         ELSE 16 END AS INTEGER) AS decoded_h,
-                   CASE WHEN d.doc_id % 4 = 1 THEN
+                   CASE WHEN d.doc_id % 16 = 12 THEN
+                     -- GIF: the raster is the doc's text bytes tiled to
+                     -- 8*W pixels (ASCII corpus: ascii(char) == byte);
+                     -- sum = full_repeats * sum(bytes) + sum(prefix)
+                     CAST(CASE WHEN length(d.text) = 0 THEN 0 ELSE
+                       ((8 * a.w) // length(d.text)) * list_sum(
+                           list_transform(range(length(d.text)),
+                             i -> ascii(substr(d.text,
+                                      CAST(i AS INTEGER) + 1, 1))))
+                       + CASE WHEN (8 * a.w) % length(d.text) = 0 THEN 0
+                         ELSE list_sum(list_transform(
+                             range((8 * a.w) % length(d.text)),
+                             i -> ascii(substr(d.text,
+                                      CAST(i AS INTEGER) + 1, 1)))) END
+                     END AS BIGINT)
+                   WHEN d.doc_id % 4 = 1 THEN
                      CAST(64 * list_sum(list_transform(
                          range(2 * (1 + d.doc_id % 5)),
                          b -> (d.doc_id * 7 + 13 * b) % 251)) AS BIGINT)

@@ -2,12 +2,14 @@
 
 Images/audio/video ride as opaque ``binary`` columns with a typed metadata
 struct. The Spark-side plumbing — schema, Arrow batching, partition
-discipline — is real and tested, and so are the codecs for the four
-container formats the engine carries natively (all pure-stdlib, all
-signature-sniffed): PNG + baseline JPEG images (``kernels.png`` /
-``kernels.jpeg``), RIFF/PCM WAV audio (``kernels.wav``), uncompressed
-AVI video (``kernels.avi``). Only containers outside that family (GIF,
-WebP, mp3/ogg, mp4 — codecs genuinely absent here) fall back to a
+discipline — is real and tested, and so are the codecs for the FIVE
+container families the engine carries natively (all pure-stdlib, all
+signature-sniffed): PNG (full color-type/depth matrix incl. palette +
+Adam7) + JPEG (baseline + progressive) images, GIF palette images AND
+animations (``kernels.gif`` — the web's most common lightweight video
+container), RIFF/PCM + G.711 WAV audio (``kernels.wav``), DIB + MJPG
+AVI video (``kernels.avi``). Only containers outside that family (WebP,
+mp3/ogg, mp4 — codecs genuinely absent here) fall back to a
 deterministic sha256-seeded fake, honestly labeled ``fmt='fake'``. The
 OCR branch (``operators/extract_ocr.py``) consumes the decoded strips, so
 the full binary → decode → normalize → recognize chain runs on real
@@ -57,7 +59,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("kind", T.StringType()),
-        # container format by sniff: 'png'|'jpeg'|'avi'|'wav'|'fake'
+        # container format by sniff: 'png'|'jpeg'|'gif'|'avi'|'wav'|'fake'
         T.StructField("fmt", T.StringType()),
         T.StructField("payload_bytes", T.LongType()),
         T.StructField("payload_crc", T.LongType()),
@@ -77,7 +79,8 @@ FEATURE_DIM = 16
 
 
 def sniff_image_fmt(payload: bytes) -> str:
-    """Container format by magic bytes: 'png' | 'jpeg' | 'fake'."""
+    """Container format by magic bytes: 'png' | 'jpeg' | 'gif' | 'fake'."""
+    from ocr_spark.kernels.gif import GIF_MAGICS
     from ocr_spark.kernels.jpeg import JPEG_MAGIC
     from ocr_spark.kernels.png import PNG_MAGIC
 
@@ -85,6 +88,8 @@ def sniff_image_fmt(payload: bytes) -> str:
         return "png"
     if payload.startswith(JPEG_MAGIC):
         return "jpeg"
+    if payload[:6] in GIF_MAGICS:
+        return "gif"
     return "fake"
 
 
@@ -97,11 +102,12 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     the analog of the reference's ``cv2.imread`` scan,
     ``/root/reference/test_img.py:38-43``, whose flagship input IS a
     JPEG); color images are reduced to luma by channel mean. The declared
-    meta width/height are advisory — the parsed IHDR/SOF0 dimensions win
-    (real metadata can lie; the bytes cannot). Payloads outside the two
-    container families (GIF/WebP — codecs not available in this
-    container) keep the sha256-seeded deterministic fake, honestly
-    labeled: the (H, W) float32 [0,1] contract is identical either way.
+    meta width/height are advisory — the parsed IHDR/SOF0/GIF-descriptor
+    dimensions win (real metadata can lie; the bytes cannot). GIF frames
+    composite through the palette and reduce to luma; payloads outside
+    the native families (WebP — codec not available in this container)
+    keep the sha256-seeded deterministic fake, honestly labeled: the
+    (H, W) float32 [0,1] contract is identical either way.
     """
     from ocr_spark.kernels.jpeg import jpeg_to_gray_float
     from ocr_spark.kernels.png import png_to_gray_float
@@ -111,6 +117,12 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         return png_to_gray_float(payload)
     if fmt == "jpeg":
         return jpeg_to_gray_float(payload)
+    if fmt == "gif":
+        from ocr_spark.kernels.gif import iter_gif_frames
+
+        for _no, rgb in iter_gif_frames(payload, max_frames=1):
+            return (rgb.astype(np.float32).mean(axis=2) / 255.0)
+        raise ValueError("GIF with no frames")
     digest = hashlib.sha256(payload).digest()
     seed = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
     n = width * height
@@ -170,6 +182,25 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     if img is None:
                         continue
                     fmt = "avi"
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    # GIF: palette image OR animation. The checksum spans
+                    # ALL composited frames (gray = channel mean, exact
+                    # for gray palettes); dims/feature from frame 0 —
+                    # streamed, one canvas + frame in memory.
+                    from ocr_spark.kernels.gif import iter_gif_frames
+
+                    frame_sum = 0
+                    img = None
+                    for _no, rgb in iter_gif_frames(payload):
+                        gray = np.rint(
+                            rgb.astype(np.float32).mean(axis=2)
+                        ).astype(np.int64)
+                        frame_sum += int(gray.sum())
+                        if img is None:
+                            img = gray.astype(np.float32) / 255.0
+                    if img is None:
+                        continue
+                    fmt = "gif"
                 elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                     # audio container: real WAV parse (PCM or G.711). The
                     # checksum is the int16-scale sample sum — it only
@@ -292,6 +323,26 @@ def resize_images(
     ).mapInPandas(fn, schema=RESIZED_SCHEMA)
 
 
+def _iter_gray_frames(payload: bytes, every_n: int = 1):
+    """(frame_no, (H, W) uint8 gray) for the native VIDEO containers —
+    AVI (DIB/MJPG) and animated GIF — decoded lazily (one frame in
+    memory). Yields nothing for other payloads; raises ValueError on
+    malformed containers (callers wrap iteration in skip-never-crash)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from ocr_spark.kernels.avi import iter_avi_frames
+
+        yield from iter_avi_frames(payload, every_n=every_n)
+        return
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ocr_spark.kernels.gif import iter_gif_frames
+
+        for no, rgb in iter_gif_frames(payload, every_n=every_n):
+            yield no, np.rint(
+                rgb.astype(np.float32).mean(axis=2)
+            ).astype(np.uint8)
+        return
+
+
 FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -315,7 +366,6 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     the frame table is orders of magnitude taller than the media table
     and must never carry the source bytes.
     """
-    from ocr_spark.kernels.avi import iter_avi_frames
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -326,7 +376,9 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                 if payload is None or meta is None:
                     continue
                 payload = bytes(payload)
-                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                if (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ") or (
+                    payload[:6] in (b"GIF87a", b"GIF89a")
+                ):
                     # lazy per-frame decode: one raster in memory at a
                     # time, skipped frames never pay entropy decode; the
                     # per-payload buffer holds only (frame_no, crc, feat)
@@ -334,7 +386,7 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                     # (atomic skip, matching the eager semantics)
                     buf = []
                     try:
-                        for f, raster in iter_avi_frames(
+                        for f, raster in _iter_gray_frames(
                             payload, every_n=every_n
                         ):
                             img = raster.astype(np.float32) / 255.0
@@ -404,7 +456,6 @@ def recognize_video_frames(
     vocabulary has no space class (cropped-line OCR, reference
     semantics), so recognized text is the concatenated glyph stream.
     """
-    from ocr_spark.kernels.avi import iter_avi_frames
     from ocr_spark.kernels.font import GLYPH_H, recognize_lines_font
 
     # recognition sub-batch: frames stream off the lazy decoder and are
@@ -420,7 +471,10 @@ def recognize_video_frames(
                 if payload is None:
                     continue
                 payload = bytes(payload)
-                if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+                if not (
+                    (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ")
+                    or payload[:6] in (b"GIF87a", b"GIF89a")
+                ):
                     continue
                 out: list[tuple[int, str]] = []
                 kept: list[tuple[int, np.ndarray]] = []
@@ -444,7 +498,7 @@ def recognize_video_frames(
                     # lazy per-frame decode: a skipped (stride) frame never
                     # pays entropy decode, peak memory is one raster plus
                     # the RECOG_BATCH recognition window
-                    for f, frame in iter_avi_frames(payload, every_n=every_n):
+                    for f, frame in _iter_gray_frames(payload, every_n=every_n):
                         if frame.shape[0] != GLYPH_H or not frame.size:
                             continue
                         kept.append((f, frame))
