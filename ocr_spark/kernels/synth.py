@@ -177,10 +177,12 @@ def wrap_html_with_font_images(
     ``normalize_strip`` (announced via ``data-height``) and recognition
     must go through normalized cross-correlation (``kernels.font``).
 
-    ``container`` picks the image format: "png", "jpeg", or "mixed"
-    (per-line (seed_base + idx) % 2 — web crawls carry both, and a
+    ``container`` picks the image format: "png", "jpeg", "gif", or
+    "mixed" (per-line (seed_base + idx) % 4 cycling PNG / baseline JPEG
+    / GIF / progressive JPEG — web crawls carry all four, and a
     container-agnostic pipeline must prove it on lossy JPEG bytes where
-    nothing round-trips bit-identically)."""
+    nothing round-trips bit-identically AND on palette-mapped LZW
+    bytes)."""
     import base64
 
     import numpy as np
@@ -196,29 +198,33 @@ def wrap_html_with_font_images(
         noisy = distort_strip(
             strip[:, :width], float(scale), sigma, seed_base * 31 + idx
         )
-        # REAL container bytes: the noisy strip ships as an actual PNG or
-        # baseline JPEG, so the extraction pipeline exercises a genuine
+        # REAL container bytes: the noisy strip ships as an actual PNG,
+        # JPEG or GIF, so the extraction pipeline exercises a genuine
         # decode (signature sniff + full container parse), not a memcpy.
         # JPEG quality 95: lossy on top of the seeded noise — recognition
         # has to survive quantization artifacts, not just Gaussian noise.
         raster = (noisy * 255).astype(np.uint8)
-        # zero-dim rasters (empty line slots) ship as PNG regardless:
-        # JPEG has no zero-width images (SOF X=0 is the unsupported
-        # deferred-DNL case), while PNG legitimately encodes them
+        # mixed population cycles four wild container shapes per line:
+        # PNG, baseline JPEG, GIF (lossless LZW through the gray
+        # palette), progressive JPEG. Zero-dim rasters (empty line
+        # slots) ship as PNG regardless: JPEG has no zero-width images
+        # (SOF X=0 is the unsupported deferred-DNL case) and GIF frames
+        # need w,h >= 1, while PNG legitimately encodes them.
+        slot = (seed_base + idx) % 4 if container == "mixed" else None
         use_jpeg = raster.size > 0 and (
-            container == "jpeg"
-            or (container == "mixed" and (seed_base + idx) % 2 == 1)
+            container == "jpeg" or slot in (1, 3)
         )
-        # every other JPEG line ships as SOF2 progressive (the other
-        # dominant wild container): identical quantized coefficients →
-        # identical decoded pixels, so recognition output is unchanged
-        # while the decode seam proves all three container shapes
-        prog = use_jpeg and (seed_base + idx) % 4 == 3
-        payload = base64.b64encode(
-            encode_jpeg(raster, quality=95, progressive=prog)
-            if use_jpeg
-            else encode_png(raster)
-        ).decode("ascii")
+        use_gif = raster.size > 0 and (container == "gif" or slot == 2)
+        prog = use_jpeg and slot == 3
+        if use_jpeg:
+            blob = encode_jpeg(raster, quality=95, progressive=prog)
+        elif use_gif:
+            from ocr_spark.kernels.gif import encode_gif
+
+            blob = encode_gif(raster)
+        else:
+            blob = encode_png(raster)
+        payload = base64.b64encode(blob).decode("ascii")
         imgs.append(
             f'<img class="embedded-line" data-width="{width * scale}" '
             f'data-height="{GLYPH_H * scale}" data-strip="{payload}" alt="">'

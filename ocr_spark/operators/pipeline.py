@@ -82,6 +82,15 @@ def _lines_of_doc(html_text: str):
                 img = jpeg_to_gray_float(payload)
             except ValueError:
                 continue  # corrupt JPEG: skip the image, never the task
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                from ocr_spark.kernels.gif import iter_gif_frames
+
+                for _no, rgb in iter_gif_frames(payload, max_frames=1):
+                    img = rgb.astype(np.float32).mean(axis=2) / 255.0
+                    break
+            except ValueError:
+                continue  # corrupt GIF: skip the image, never the task
         if img is not None:
             # real container (PNG or baseline JPEG): dimensions come from
             # the IHDR/SOF0, not the attributes (bytes cannot lie;

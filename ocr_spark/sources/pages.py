@@ -29,7 +29,7 @@ from ocr_spark.kernels.synth import url_for_doc, warc_ts_for_doc, wrap_html
 
 # Bump whenever ANY page-fixture generator (kernels.synth wrap_html_* or
 # the sources below) changes output bytes — the cache key includes it.
-_FIXTURE_VERSION = "r4-2"
+_FIXTURE_VERSION = "r5-1"
 
 
 def fixture_cache_base() -> str | None:
