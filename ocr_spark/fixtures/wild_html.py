@@ -1252,4 +1252,99 @@ WILD_CASES: list[tuple[int, str, str | bytes, str]] = [
         "Shore power where fitted, billed by the meter at cost.\n\n"
         "Abandoned vessels may be sold after ninety days of unpaid fees and two written notices.",
     ),
+    (
+        90,
+        "event page: whenwhere details kept, calendar buttons stripped",
+        """<body><main><article>
+        <h1>Open ship day aboard the lightvessel</h1>
+        <p>The restored lightvessel opens to visitors on the first Saturday of May, with the engine room fired up twice a day.</p>
+        <dl><dt>When</dt><dd>Saturday 4 May, 10:00 to 17:00</dd>
+        <dt>Where</dt><dd>Museum quay, berth 3, free entry</dd></dl>
+        <div class="event-widget"><button>Add to calendar</button> <a href="/ics">Download .ics</a> <a href="/share-event" class="share">Share event</a></div>
+        </article></main></body>""",
+        "Open ship day aboard the lightvessel\n\n"
+        "The restored lightvessel opens to visitors on the first Saturday of May, with the engine room fired up twice a day.\n\n"
+        "When\n\n"
+        "Saturday 4 May, 10:00 to 17:00\n\n"
+        "Where\n\n"
+        "Museum quay, berth 3, free entry",
+    ),
+    (
+        91,
+        "debug error page: the stack trace in pre is the page's content",
+        """<body><main>
+        <h1>500 Internal Server Error</h1>
+        <p>The tide service failed while rendering this page; the trace below was captured for the operators.</p>
+        <pre>TideError: no reading for station 7
+  at Station.latest (tides.js:88)
+  at render (page.js:14)</pre>
+        </main></body>""",
+        "500 Internal Server Error\n\n"
+        "The tide service failed while rendering this page; the trace below was captured for the operators.\n\n"
+        '''TideError: no reading for station 7
+  at Station.latest (tides.js:88)
+  at render (page.js:14)''',
+    ),
+    (
+        92,
+        "store locator: the address list is the content",
+        """<body><main><article>
+        <h1>Chandlery branches</h1>
+        <ul class="branches">
+        <li>Harbour East — 14 Quayside Walk, open seven days, slipway parking at the rear.</li>
+        <li>Harbour West — Unit 3, Drydock Road, closed Mondays outside the season.</li>
+        <li>Marina store — pontoon C kiosk, card only, first hour of chandlery delivery free.</li>
+        </ul>
+        </article></main></body>""",
+        "Chandlery branches\n\n"
+        "Harbour East \u2014 14 Quayside Walk, open seven days, slipway parking at the rear.\n\n"
+        "Harbour West \u2014 Unit 3, Drydock Road, closed Mondays outside the season.\n\n"
+        "Marina store \u2014 pontoon C kiosk, card only, first hour of chandlery delivery free.",
+    ),
+    (
+        93,
+        "documentation admonition boxes are content",
+        """<body><main><article>
+        <h1>Filling the water tank</h1>
+        <p>Connect the deck fill to the tank the long way round so the hose never kinks behind the galley bulkhead.</p>
+        <div class="admonition note"><p>Note: the breather exits under the rubbing strake; a blocked breather makes the tank gulp and spit.</p></div>
+        <div class="admonition warning"><p>Warning: never pressurise the tank from the dockside tap, the seams are soldered not welded.</p></div>
+        </article></main></body>""",
+        "Filling the water tank\n\n"
+        "Connect the deck fill to the tank the long way round so the hose never kinks behind the galley bulkhead.\n\n"
+        "Note: the breather exits under the rubbing strake; a blocked breather makes the tank gulp and spit.\n\n"
+        "Warning: never pressurise the tank from the dockside tap, the seams are soldered not welded.",
+    ),
+    (
+        94,
+        "interview QA: speaker labels and answers both content",
+        """<body><main><article>
+        <h1>Five questions for the new pilot</h1>
+        <p><strong>You trained on the river \u2014 what changes at sea?</strong></p>
+        <p>The margins. On the river the bank forgives you a metre; the bar at spring ebb forgives nothing.</p>
+        <p><strong>First ship you ever brought in?</strong></p>
+        <p>A timber coaster drawing four metres on a falling tide, and I can still draw her wheelhouse from memory.</p>
+        </article></main></body>""",
+        "Five questions for the new pilot\n\n"
+        "You trained on the river \u2014 what changes at sea?\n\n"
+        "The margins. On the river the bank forgives you a metre; the bar at spring ebb forgives nothing.\n\n"
+        "First ship you ever brought in?\n\n"
+        "A timber coaster drawing four metres on a falling tide, and I can still draw her wheelhouse from memory.",
+    ),
+    (
+        95,
+        "timeline with time elements: visible dates kept, datetime attrs never leak",
+        """<body><main><article>
+        <h1>How the breakwater was built</h1>
+        <ul class="timeline">
+        <li><time datetime="1898-03-14">March 1898</time> \u2014 first stone laid by the harbour commissioners after forty years of petitions.</li>
+        <li><time datetime="1905-11-02">November 1905</time> \u2014 the great storm carried away two hundred metres and the insurers with it.</li>
+        <li><time datetime="1911-07-01">July 1911</time> \u2014 completed to the revised design, which still stands.</li>
+        </ul>
+        </article></main></body>""",
+        "How the breakwater was built\n\n"
+        "March 1898 \u2014 first stone laid by the harbour commissioners after forty years of petitions.\n\n"
+        "November 1905 \u2014 the great storm carried away two hundred metres and the insurers with it.\n\n"
+        "July 1911 \u2014 completed to the revised design, which still stands.",
+    ),
 ]
